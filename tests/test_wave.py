@@ -1,0 +1,140 @@
+"""Engine-vs-oracle crawl parity: order, seen set, schedule, politeness
+invariant, byte-identical per-url extraction, and checkpoint resume (ST5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscraper_spark.oracle.seq_oracle import crawl_oracle
+from webscraper_spark.plans.wave import CrawlConfig, run_crawl
+
+MAX_WAVES = 6
+
+
+@pytest.fixture(scope="module")
+def inputs(spark, corpus_dir):
+    pages = spark.read.parquet(corpus_dir["pages"])
+    seeds = spark.read.parquet(corpus_dir["seeds"])
+    robots = spark.read.parquet(corpus_dir["robots"])
+    politeness = spark.read.parquet(corpus_dir["politeness"])
+    return pages, seeds, robots, politeness
+
+
+@pytest.fixture(scope="module")
+def oracle_result(inputs):
+    pages, seeds, robots, politeness = inputs
+    pages_d = {r.url: (bytes(r.html).decode("utf-8") if r.html is not None else None) for r in
+               pages.select("url", "html").collect()}
+    seeds_l = [r.url for r in seeds.select("url").collect()]
+    robots_d = {r.host: (list(r.disallow_prefixes), int(r.crawl_delay_ms)) for r in robots.collect()}
+    pol_d = {r.host: (int(r.max_pages_per_wave), int(r.min_delay_ms)) for r in politeness.collect()}
+    return crawl_oracle(pages_d, seeds_l, robots_d, pol_d, max_waves=MAX_WAVES)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, inputs, tmp_path_factory):
+    pages, seeds, robots, politeness = inputs
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    paths = run_crawl(spark, pages, seeds, robots, politeness, ckpt,
+                      CrawlConfig(max_waves=MAX_WAVES, use_bloom=False))
+    return spark, paths
+
+
+def test_crawl_order_matches_oracle(engine_result, oracle_result):
+    spark, paths = engine_result
+    order_df = spark.read.parquet(paths["order"])
+    got = {(r.url, r.host, r.wave, r.rank) for r in order_df.collect()}
+    want = set(oracle_result[0])
+    assert got == want
+    assert len(got) == order_df.count()  # no dup fetches
+
+
+def test_seen_set_matches_oracle(engine_result, oracle_result):
+    spark, paths = engine_result
+    seen_df = spark.read.parquet(paths["seen"])
+    got = {r.url: r.wave for r in seen_df.collect()}
+    assert got == oracle_result[1]
+
+
+def test_schedule_matches_oracle(engine_result, oracle_result):
+    spark, paths = engine_result
+    order_df = spark.read.parquet(paths["order"])
+    got = {r.url: r.sched_ms for r in order_df.collect()}
+    assert got == oracle_result[2]
+
+
+def test_politeness_invariant(engine_result, inputs):
+    """No two fetches of one host within a wave closer than its delay."""
+    spark, paths = engine_result
+    _, _, robots, politeness = inputs
+    order = spark.read.parquet(paths["order"])
+    from webscraper_spark.operators.robots import resolve_budgets
+
+    budgets = resolve_budgets(robots.select("host"), robots, politeness)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host", "wave").orderBy("sched_ms")
+    gaps = (
+        order.join(budgets, "host")
+        .withColumn("prev", F.lag("sched_ms").over(w))
+        .filter(F.col("prev").isNotNull())
+        .filter((F.col("sched_ms") - F.col("prev")) < F.col("delay_ms"))
+    )
+    assert gaps.count() == 0
+
+
+def test_budget_respected(engine_result, inputs):
+    spark, paths = engine_result
+    _, _, robots, politeness = inputs
+    from webscraper_spark.operators.robots import resolve_budgets
+
+    budgets = resolve_budgets(robots.select("host"), robots, politeness)
+    per = spark.read.parquet(paths["order"]).groupBy("host", "wave").count()
+    over = per.join(budgets, "host").filter(F.col("count") > F.col("max_pages"))
+    assert over.count() == 0
+
+
+def test_robots_never_fetched(engine_result, inputs):
+    spark, paths = engine_result
+    _, _, robots, _ = inputs
+    order = spark.read.parquet(paths["order"])
+    blocked_hosts = robots.filter(F.array_contains("disallow_prefixes", "/")).select("host")
+    assert order.join(blocked_hosts, "host").count() == 0
+    private = order.filter(F.col("url").contains("/ad/private/")).join(
+        robots.filter(F.array_contains("disallow_prefixes", "/ad/private/")).select("host"), "host"
+    )
+    assert private.count() == 0
+
+
+def test_extracted_text_byte_identical_per_url(engine_result, inputs):
+    """input_hint invariant over the crawled set: results.extracted_text ==
+    pages.text for every fetched page with ground truth."""
+    spark, paths = engine_result
+    pages = inputs[0]
+    res = spark.read.parquet(paths["results"]).filter(F.col("fetch_status") == "ok")
+    joined = res.select("url", "extracted_text").join(pages.select("url", "text"), "url")
+    bad = joined.filter(~F.col("extracted_text").eqNullSafe(F.col("text")))
+    assert bad.count() == 0
+
+
+def test_resume_identical_to_straight_run(spark, inputs, oracle_result, tmp_path_factory):
+    """Kill after wave 2, resume -> identical final order + seen (ST5)."""
+    pages, seeds, robots, politeness = inputs
+    ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
+    run_crawl(spark, pages, seeds, robots, politeness, ckpt, CrawlConfig(max_waves=3))
+    paths = run_crawl(spark, pages, seeds, robots, politeness, ckpt,
+                      CrawlConfig(max_waves=MAX_WAVES), resume=True)
+    got_order = {(r.url, r.host, r.wave, r.rank) for r in spark.read.parquet(paths["order"]).collect()}
+    assert got_order == set(oracle_result[0])
+    got_seen = {r.url: r.wave for r in spark.read.parquet(paths["seen"]).collect()}
+    assert got_seen == oracle_result[1]
+
+
+def test_bloom_path_identical(spark, inputs, oracle_result, tmp_path_factory):
+    pages, seeds, robots, politeness = inputs
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bloom"))
+    paths = run_crawl(spark, pages, seeds, robots, politeness, ckpt,
+                      CrawlConfig(max_waves=MAX_WAVES, use_bloom=True, n_buckets=16))
+    got = {(r.url, r.host, r.wave, r.rank) for r in spark.read.parquet(paths["order"]).collect()}
+    assert got == set(oracle_result[0])

@@ -1,0 +1,53 @@
+"""Priority scheduling: per-host FIFO rank, budget gating, simulated clock.
+
+Re-expresses the reference's implicit crawl order — ads processed in DOM
+order within a page, pages ascending, one host at a time
+(/root/reference/app/controllers/cars_controller.rb:140-150) — as an explicit
+deterministic window rank (SURVEY.md W1-W4). Politeness (ST1) becomes a
+*simulated clock column*: sched_ms = wave_start + (rank-1) * delay_ms, so the
+politeness invariant (no two fetches of a host closer than delay) is testable
+without wall-clock sleeps; a real fetcher would replay this schedule.
+
+Ordering key per host: (depth ASC, disc_wave ASC, disc_pos ASC, url ASC) —
+total and deterministic, never partition-order dependent.
+
+Scale note: the window sorts each host's candidates; per-host candidate
+counts are bounded by discovery rate, and hot hosts are exactly the rows the
+budget cap truncates, so the sort input per host stays modest even at 10^10
+frontier scale. The frontier itself is never globally sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WAVE_EPOCH_MS = 10_000_000  # simulated ms between wave starts
+
+
+def rank_candidates(cand: DataFrame) -> DataFrame:
+    w = Window.partitionBy("host").orderBy(
+        F.col("depth").asc(), F.col("disc_wave").asc(), F.col("disc_pos").asc(), F.col("url").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w))
+
+
+def schedule_wave(cand: DataFrame, budgets: DataFrame, wave: int) -> tuple[DataFrame, DataFrame]:
+    """Split ranked candidates into (batch, deferred) and assign sched_ms.
+
+    batch: rank <= host budget, with the simulated fetch timestamp.
+    deferred: over-budget rows that stay in the frontier (original discovery
+    metadata intact so they compete fairly next wave).
+    """
+    ranked = rank_candidates(cand).join(F.broadcast(budgets), "host", "left")
+    ranked = ranked.withColumn("max_pages", F.coalesce(F.col("max_pages"), F.lit(40))).withColumn(
+        "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(1000))
+    )
+    batch = ranked.filter(F.col("rank") <= F.col("max_pages")).withColumn(
+        "sched_ms",
+        (F.lit(wave).cast("long") * WAVE_EPOCH_MS + (F.col("rank") - 1).cast("long") * F.col("delay_ms")),
+    )
+    deferred = ranked.filter(F.col("rank") > F.col("max_pages")).select(
+        "url", "host", "depth", "disc_wave", "disc_pos"
+    )
+    return batch, deferred
