@@ -1,0 +1,178 @@
+"""Dedup family, text analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webscraper_spark.functions.text import (
+    bpe_ish_token_count,
+    langid,
+    quality_score,
+    token_count,
+)
+from webscraper_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from webscraper_spark.operators.multimodal import decode_features, frame_sample_plan, synth_media
+from webscraper_spark.operators.simsearch import brute_force_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Corpus + planted exact dups and near-dups (one word changed)."""
+    dup = docs.limit(20).select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    near = docs.limit(20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(dup).unionByName(near)
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = exact_duplicates(docs_with_dups)
+    assert groups.count() == 20
+    assert groups.filter(F.col("keep_id") >= 100000).count() == 0  # min id survives
+    deduped = exact_dedup(docs_with_dups)
+    assert deduped.count() == docs_with_dups.count() - 20
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups (jaccard 1.0) must all be found
+    for i in range(20):
+        assert (i, i + 100000) in got, f"exact dup {i} missed"
+    # near dups: most should be found (high jaccard after one-word change)
+    near_hits = sum((i, i + 200000) in got for i in range(20))
+    assert near_hits >= 15, near_hits
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark, docs_with_dups):
+    """Every LSH-verified pair must appear in the exact n-gram Jaccard output
+    with the same jaccard value (LSH may miss; it must never invent)."""
+    small = docs_with_dups.filter((F.col("doc_id") < 60) | (F.col("doc_id") >= 100000))
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(small, threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(small, threshold=0.5).collect()}
+    for k, v in lsh.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    sample = docs.limit(30).select("doc_id", "text").collect()
+    texts = {r.doc_id: r.text for r in sample}
+
+    def sh(t):
+        toks = t.split()
+        return set(" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2)))
+
+    want = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = sh(texts[i]), sh(texts[j])
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.1:
+                    want[(i, j)] = jac
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs.limit(30), threshold=0.1).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(20):
+        assert (i, i + 100000) in got  # identical text -> hamming 0
+
+
+def test_token_counts_match_python(spark, docs):
+    rows = docs.select("doc_id", "text", token_count(F.col("text")).alias("n"),
+                       bpe_ish_token_count(F.col("text")).alias("nb")).collect()
+    for r in rows:
+        assert r.n == len(r.text.split()), r.doc_id
+        assert r.nb >= r.n
+
+
+def test_quality_and_langid_deterministic(spark, docs):
+    a = docs.select("doc_id", quality_score(F.col("text")).alias("q"), langid(F.col("text")).alias("l"))
+    b = docs.select("doc_id", quality_score(F.col("text")).alias("q"), langid(F.col("text")).alias("l"))
+    assert a.exceptAll(b).count() == 0
+    qs = [r.q for r in a.collect()]
+    assert all(0.0 <= q <= 1.0 for q in qs)
+    # corpus text contains 'the'/'a' -> mostly en
+    langs = a.groupBy("l").count().collect()
+    top = max(langs, key=lambda r: r["count"])
+    assert top.l == "en"
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = brute_force_topk(emb, queries, k=5).collect()
+    base = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for q in queries.collect():
+        qv = np.array(q.q_vec, dtype=np.float64)
+        cos = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))) for vid, v in base.items()
+        }
+        want = sorted(cos, key=lambda vid: (-round(cos[vid], 9), vid))[:5]
+        mine = [r.vec_id for r in sorted((g for g in got if g.q_id == q.q_id), key=lambda r: r.rank)]
+        assert mine[0] == q.q_id  # self is top-1
+        assert set(mine) == set(want), (q.q_id, mine, want)
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(emb, queries, k=10).collect()
+    ann = lsh_ann_topk(emb, queries, dim=64, k=10).collect()
+    recalls = []
+    for qid in {r.q_id for r in brute}:
+        b = {r.vec_id for r in brute if r.q_id == qid}
+        a = {r.vec_id for r in ann if r.q_id == qid}
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 99)
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 99
+    assert all(r.status == "ok" and len(r.feat) == 8 for r in rows)
+    again = {r.media_id: r.feat for r in decode_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feat  # deterministic fake decode
+    plan = frame_sample_plan(media)
+    assert plan.count() > 0
+    assert plan.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_multimodal_null_payload_and_stub(spark):
+    media = synth_media(spark, 5).withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.lit(None).cast("binary")).otherwise(F.col("payload"))
+    )
+    rows = decode_features(media).collect()
+    assert sum(r.status == "null_payload" for r in rows) == 1
+    with pytest.raises(Exception, match="NotImplementedError|real image/audio decode"):
+        decode_features(media, require_real_decoder=True).collect()

@@ -1,0 +1,98 @@
+r"""Text-analysis functions for corpus curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is native column expressions (codegen) — these run over every
+document of a 100 TB corpus, so no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.dedup import shingle_hashes, tokens
+
+# Tiny deterministic stopword profiles (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "los"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "les"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; '' -> 0."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: split on a BPE-flavoured boundary regex
+    (letters / digits / single punctuation marks), drop empties."""
+    pieces = F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != "")).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Deterministic [0,1] quality heuristic: rewards reasonable length,
+    stopword presence, moderate word length; penalizes punctuation soup.
+    (The kind of gate a pretraining pipeline runs before dedup.)"""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    sw = stopword_ratio(text, lang)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    wl = mean_word_len(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    return F.round((0.4 * len_score + 0.3 * sw_score + 0.15 * wl_score + 0.15 * punct_penalty), 6)
+
+
+def langid_scores(text: Column) -> Column:
+    """map<lang,double> of stopword-profile hit ratios."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in STOPWORDS]),
+        F.array(*[stopword_ratio(text, k) for k in STOPWORDS]),
+    )
+
+
+def langid(text: Column) -> Column:
+    """argmax language by stopword profile; 'und' (undetermined) when all
+    profiles score 0 — deterministic tie-break by profile order."""
+    scores = [(k, stopword_ratio(text, k)) for k in STOPWORDS]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for k, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(k)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
+    """Winnowing-style fingerprint: the k smallest n-gram shingle hashes
+    (sorted) — stable under small edits, array<long>."""
+    return F.slice(F.array_sort(shingle_hashes(text, n)), 1, k)
+
+
+def fingerprint64(text: Column, n: int = 3, k: int = 8) -> Column:
+    """Single 64-bit rollup of the fingerprint (joinable key)."""
+    return F.xxhash64(F.concat_ws(",", F.transform(doc_fingerprint(text, n, k), lambda h: h.cast("string"))))

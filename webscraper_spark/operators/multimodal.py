@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow batches via mapInPandas.
+
+The decode step is STUBBED (no image/audio libs in this container): by
+default a deterministic fake decoder derives "features" from the bytes
+themselves, so the Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is real and tested end-to-end. Set
+``require_real_decoder=True`` to get the explicit NotImplementedError
+marking where a real libjpeg/ffmpeg-backed decoder plugs in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha long, width int, height int, feat array<float>, status string"
+)
+
+
+def synth_media(spark, n: int = 256) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from id."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("synthetic"), F.lit("src"), F.concat(F.lit("mem://"), F.col("id"))).alias("meta"),
+    )
+    return df
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for a real decoder: 8-dim 'features' from a
+    rolling sum over payload bytes; width/height from byte prefix."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    w = int(arr[0]) % 64 + 1 if len(arr) else 1
+    h = int(arr[1]) % 64 + 1 if len(arr) > 1 else 1
+    if len(arr) == 0:
+        return w, h, np.zeros(8, dtype=np.float32)
+    chunks = np.array_split(arr, 8)
+    feat = np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32) / 255.0
+    return w, h, feat
+
+
+def decode_features(df: DataFrame, require_real_decoder: bool = False) -> DataFrame:
+    """mapInPandas decode/feature-extract stage. Arrow batches in/out; one
+    output row per media row. Real decoders drop in at the marked point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if require_real_decoder:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/ffmpeg — not available in this "
+                    "environment; plug the decoder in here (signature: bytes -> (w, h, feat))"
+                )
+            rows = {"media_id": [], "kind": [], "n_bytes": [], "sha": [], "width": [], "height": [], "feat": [], "status": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                if payload is None:
+                    rows["n_bytes"].append(0)
+                    rows["sha"].append(0)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["feat"].append(np.zeros(8, dtype=np.float32))
+                    rows["status"].append("null_payload")
+                    continue
+                w, h, feat = _fake_decode(bytes(payload), kind)
+                rows["n_bytes"].append(len(payload))
+                rows["sha"].append(int.from_bytes(bytes(payload)[:8], "big", signed=True) if len(payload) >= 8 else 0)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["feat"].append(feat)
+                rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index —
+    the explode shape a real frame extractor would fill. Frame count is
+    derived deterministically from payload size (stub)."""
+    frames = F.floor(F.length("payload") / 4).cast("int")
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("n_frames", frames)
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(frames - 1, F.lit(0)), F.lit(every_n))))
+        .select("media_id", "n_frames", "frame_idx")
+    )
