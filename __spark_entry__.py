@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: synthesize the sf0.001 crawl corpus, run the
+                    wave engine, push eligible cars through tags + pricing and
+                    return the 41-rows-per-car Shopify variant DataFrame.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()      — DuckDB-equivalent ANSI SQL per query (omitted for
+                    genuinely non-SQL-expressible ops -> rows-only check).
+
+Cross-engine parity rules baked into every oracle pair:
+- DuckDB decimal literals are DECIMAL -> every constant is cast ::DOUBLE;
+- CAST(double AS BIGINT) rounds in DuckDB but truncates in Spark -> floor();
+- floats are rounded in-query on BOTH sides before comparison;
+- column names aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webscraper_spark.functions.canon import canonicalize_url, url_host  # noqa: E402
+from webscraper_spark.functions.derive import (  # noqa: E402
+    eligibility,
+    preis_tag,
+    tags_string,
+    with_identity,
+    with_tags,
+    with_typed,
+)
+from webscraper_spark.functions.extract import with_extraction  # noqa: E402
+from webscraper_spark.functions.pricing import (  # noqa: E402
+    preis_12_s_expr,
+    price_dims,
+    price_matrix,
+    variant_rows,
+    with_car_pricing_inputs,
+)
+from webscraper_spark.functions.text import langid, quality_score, token_count, fingerprint64  # noqa: E402
+from webscraper_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from webscraper_spark.operators.simsearch import brute_force_topk, lsh_ann_topk  # noqa: E402
+
+RUN_DATE = "2020-09-01"
+_STOP = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "les"),
+}
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship crawl + dealer pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from webscraper_spark.plans.wave import CrawlConfig, run_crawl
+    from webscraper_spark.sources.synth import materialize_corpus
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "corpus_sf0.001")
+    os.makedirs(cache, exist_ok=True)
+    paths = materialize_corpus(spark, 0.001, cache)
+    load = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    ckpt = tempfile.mkdtemp(prefix="entry_ckpt_")
+    out = run_crawl(spark, load("pages"), load("seeds"), load("robots"), load("politeness"),
+                    ckpt, CrawlConfig(max_waves=3))
+    results = spark.read.parquet(out["results"]).filter(F.col("x_status") == "ok")
+    cars = with_car_pricing_inputs(with_typed(results)).filter(eligibility())
+    cars = with_tags(with_identity(cars)).withColumn("preis_tag", preis_tag(preis_12_s_expr())).withColumn(
+        "tags", tags_string()
+    )
+    v = variant_rows(price_matrix(cars, price_dims(spark)))
+    return v.select(
+        "url", "handle", "vendor", "tags", "row_kind", "duration", "package",
+        "option_duration", "option_km", "preis", "reselling",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_eligibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return li.filter(
+        (F.col("l_quantity") > 10)
+        & (F.col("l_quantity") < 45)
+        & (F.col("l_extendedprice") < 30000)
+        & (F.col("l_discount") < 0.08)
+        & F.col("l_returnflag").isin("N", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+_SQL_ELIGIBILITY = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 10 AND l_quantity < 45 AND l_extendedprice < 30000
+  AND l_discount < 0.08 AND l_returnflag IN ('N','R')
+"""
+
+
+def _q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def _q_semi_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+_SQL_FRONTIER_RANK = """
+SELECT user_id, event_id, rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+  FROM events
+) WHERE rank <= 5
+"""
+
+
+def _q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    delay = F.lit(500) + F.pmod(F.col("user_id"), F.lit(7)) * 100
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "event_id", "rank", ((F.col("rank") - 1) * delay).cast("long").alias("sched_ms"))
+    )
+
+
+_SQL_POLITENESS = """
+SELECT user_id, event_id, rank, CAST((rank - 1) * (500 + (user_id % 7) * 100) AS BIGINT) AS sched_ms
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+  FROM events
+) WHERE rank <= 10
+"""
+
+
+def _q_topk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rk").alias("recency_rank"))
+    )
+
+
+_SQL_TOPK_RECENCY = """
+SELECT o_custkey, o_orderkey, rk AS recency_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# URL construction shared by the canonicalization queries: build a messy URL
+# from events columns; the canonical form is independently constructible.
+def _messy_url():
+    return F.concat(
+        F.lit("HTTPS://HOST"), F.pmod(F.col("user_id"), F.lit(50)), F.lit(".EXAMPLE:443/path/"),
+        F.pmod(F.col("event_id"), F.lit(100)), F.lit("?b="), F.pmod(F.col("event_id"), F.lit(9)),
+        F.lit("&a="), F.pmod(F.col("event_id"), F.lit(10)), F.lit("#frag"),
+    )
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.select("event_id", canonicalize_url(_messy_url()).alias("canon_url"))
+
+
+_SQL_CANONICALIZE = """
+SELECT event_id,
+       'https://host' || (user_id % 50) || '.example/path/' || (event_id % 100)
+       || '?a=' || (event_id % 10) || '&b=' || (event_id % 9) AS canon_url
+FROM events
+"""
+
+
+def _q_host_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.select(url_host(canonicalize_url(_messy_url())).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+_SQL_HOST_GROUP = """
+SELECT 'host' || (user_id % 50) || '.example' AS host, count(*) AS n_urls
+FROM events GROUP BY 1
+"""
+
+
+def _q_zip_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "word")).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "word"
+    )
+
+
+_SQL_ZIP_POSITIONAL = """
+SELECT doc_id,
+       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos,
+       unnest(string_split_regex(text, '\\s+')) AS word
+FROM documents WHERE doc_id < 50
+"""
+
+# --- pricing: shared synthetic car inputs from lineitem --------------------
+
+_CARS_SPARK_FILTER = "(l_orderkey % 20 = 0) AND (l_linenumber = 1)"
+
+
+def _cars_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(F.expr(_CARS_SPARK_FILTER))
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("car_key"),
+        (F.pmod(F.floor("l_extendedprice").cast("long"), F.lit(30000)) + 3000).alias("price_i"),
+        (F.floor(F.col("l_quantity") * 4).cast("long") + 50).alias("ps_i"),
+        (F.lit(900) + F.pmod("l_partkey", F.lit(2600))).alias("hub_i"),
+        F.when(F.col("l_returnflag") == "R", "Diesel").otherwise("Benzin").alias("x_fuel"),
+        (F.lit(80) + F.pmod("l_orderkey", F.lit(120))).alias("co2_i"),
+        F.lit(True).alias("co2_present"),
+    )
+
+
+_SQL_CARS = """
+  SELECT l_orderkey * 10 + l_linenumber AS car_key,
+         (CAST(floor(l_extendedprice) AS BIGINT) % 30000) + 3000 AS price_i,
+         CAST(floor(l_quantity * 4) AS BIGINT) + 50 AS ps_i,
+         900 + (l_partkey % 2600) AS hub_i,
+         CASE WHEN l_returnflag = 'R' THEN 'Diesel' ELSE 'Benzin' END AS x_fuel,
+         80 + (l_orderkey % 120) AS co2_i
+  FROM lineitem WHERE (l_orderkey % 20 = 0) AND (l_linenumber = 1)
+"""
+
+_SQL_PRICED = f"""
+WITH cars AS ({_SQL_CARS}),
+dims AS (
+  SELECT d.duration, p.package, p.dep_pct,
+         (d.duration > 6 OR (d.duration = 6 AND p.package = 'xxl')) AS maint_applies
+  FROM (SELECT unnest(generate_series(3, 12)) AS duration) d
+  CROSS JOIN (VALUES ('s', 12.0), ('m', 14.0), ('l', 16.0), ('xl', 18.0), ('xxl', 20.0)) p(package, dep_pct)
+),
+inputs AS (
+  SELECT *,
+    price_i / (1.0::DOUBLE + 0.16::DOUBLE) AS selling_net,
+    0.05::DOUBLE * price_i / 12 AS loan_cost_month,
+    CASE WHEN ps_i / 1.36::DOUBLE < 66 THEN 87.5::DOUBLE
+         WHEN ps_i / 1.36::DOUBLE > 66 AND ps_i / 1.36::DOUBLE < 99 THEN 98.8::DOUBLE
+         WHEN ps_i / 1.36::DOUBLE > 99 AND ps_i / 1.36::DOUBLE < 130 THEN 111.30::DOUBLE
+         WHEN ps_i / 1.36::DOUBLE > 130 AND ps_i / 1.36::DOUBLE < 210 THEN 134.00::DOUBLE
+    END AS insurance_month,
+    (CASE WHEN x_fuel = 'Diesel' THEN CAST(hub_i AS DOUBLE) / 100 * (9.5::DOUBLE / 12)
+          WHEN x_fuel = 'Benzin' THEN CAST(hub_i AS DOUBLE) / 100 * (2.0::DOUBLE / 12)
+          WHEN x_fuel IN ('Elektro', 'Erdgas') THEN 0.0::DOUBLE
+     END) + (CAST(co2_i AS DOUBLE) - 95.0::DOUBLE) * (2.0::DOUBLE / 12) AS car_tax_month
+  FROM cars
+),
+m AS (
+  SELECT i.car_key, d.duration, d.package,
+    ((100.0::DOUBLE + 100.0::DOUBLE / 1.16::DOUBLE
+      + CASE WHEN d.maint_applies THEN 100.0::DOUBLE / 1.16::DOUBLE ELSE 0.0::DOUBLE END
+      + 0.45::DOUBLE / 1.16::DOUBLE) / d.duration
+     + 170.0::DOUBLE / 12 / 1.16::DOUBLE
+     + i.car_tax_month + i.insurance_month
+     + 5.38::DOUBLE / 1.16::DOUBLE
+     + 0.06::DOUBLE / 1.16::DOUBLE
+     + 100.0::DOUBLE / 12 / 1.16::DOUBLE
+     + d.dep_pct::DOUBLE / 100 * i.selling_net / 12
+     + i.loan_cost_month) AS base,
+    (100.0::DOUBLE / 1.16::DOUBLE
+     + (d.dep_pct::DOUBLE / 100 * i.selling_net / 12
+        + 100.0::DOUBLE / 12 / 1.16::DOUBLE
+        + 170.0::DOUBLE / 12 / 1.16::DOUBLE) * d.duration) AS resell_cost,
+    i.price_i
+  FROM inputs i CROSS JOIN dims d
+  WHERE i.insurance_month IS NOT NULL
+)
+SELECT car_key, duration, package,
+  CAST(round((base + 0.003::DOUBLE * base * 1.1::DOUBLE * 1.16::DOUBLE) * 1.1::DOUBLE * 1.16::DOUBLE) AS BIGINT) AS preis,
+  CAST(round(price_i - resell_cost * 1.16::DOUBLE) AS BIGINT) AS reselling
+FROM m
+"""
+
+
+def _q_cross_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cars = with_car_pricing_inputs(_cars_from_lineitem(spark, sf_dir))
+    return price_matrix(cars, price_dims(spark)).select(
+        "car_key", F.col("duration").cast("long").alias("duration"), "package", "preis", "reselling"
+    )
+
+
+def _q_variant_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cars = with_car_pricing_inputs(_cars_from_lineitem(spark, sf_dir))
+    v = variant_rows(price_matrix(cars, price_dims(spark)))
+    return v.groupBy("car_key").agg(F.count("*").alias("n_rows")).select("car_key", "n_rows")
+
+
+_SQL_VARIANT_COUNTS = f"""
+WITH priced AS ({_SQL_PRICED})
+SELECT car_key, count(*) AS n_rows FROM priced
+WHERE NOT (duration >= 4 AND package = 's')
+GROUP BY car_key
+"""
+
+
+def _q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    digits = F.regexp_extract(F.col("props"), r"(\d+)", 1)
+    return ev.select(
+        "event_id",
+        F.nullif(digits, F.lit("")).alias("k_str"),
+        F.nullif(digits, F.lit("")).cast("long").alias("k_int"),
+    )
+
+
+_SQL_REGEX_EXTRACT = """
+SELECT event_id,
+       nullif(regexp_extract(props, '(\\d+)', 1), '') AS k_str,
+       CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT) AS k_int
+FROM events
+"""
+
+
+def _q_digit_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    stripped = F.regexp_replace(F.col("props"), "[^0-9]", "")
+    return ev.select(
+        "event_id",
+        F.when(stripped == "", F.lit(0)).otherwise(stripped.cast("long")).alias("digits_int"),
+    )
+
+
+_SQL_DIGIT_STRIP = """
+SELECT event_id,
+       CASE WHEN regexp_replace(props, '[^0-9]', '', 'g') = '' THEN 0
+            ELSE CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) END AS digits_int
+FROM events
+"""
+
+
+def _q_binning_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(F.col("l_orderkey") % 10 == 0)
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    qty_tag = (
+        F.when(qty < 10, "Menge_klein").when((qty > 10) & (qty < 30), "Menge_mittel")
+        .when((qty > 30) & (qty < 45), "Menge_gross").otherwise("Menge_Alle")
+    )
+    price_tag_ = (
+        F.when(price <= 20000, "Preis_Günstig").when((price > 20000) & (price <= 50000), "Preis_Mittel")
+        .otherwise("Preis_Premium")
+    )
+    return li.select("l_orderkey", "l_linenumber", qty_tag.alias("qty_tag"), price_tag_.alias("price_tag"))
+
+
+_SQL_BINNING = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_quantity < 10 THEN 'Menge_klein'
+       WHEN l_quantity > 10 AND l_quantity < 30 THEN 'Menge_mittel'
+       WHEN l_quantity > 30 AND l_quantity < 45 THEN 'Menge_gross'
+       ELSE 'Menge_Alle' END AS qty_tag,
+  CASE WHEN l_extendedprice <= 20000 THEN 'Preis_Günstig'
+       WHEN l_extendedprice > 20000 AND l_extendedprice <= 50000 THEN 'Preis_Mittel'
+       ELSE 'Preis_Premium' END AS price_tag
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+def _q_age_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    age_days = F.datediff(F.lit(RUN_DATE).cast("date"), F.col("o_orderdate").cast("date"))
+    tag = (
+        F.when(age_days < 730, "Alter_unter2")
+        .when((age_days > 730) & (age_days < 1825), "Alter_2bis5")
+        .otherwise("Alter_Alle")
+    )
+    return o.select("o_orderkey", age_days.cast("long").alias("age_days"), tag.alias("alter_tag"))
+
+
+_SQL_AGE_BINNING = f"""
+SELECT o_orderkey,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '{RUN_DATE}') AS age_days,
+       CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{RUN_DATE}') < 730 THEN 'Alter_unter2'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{RUN_DATE}') > 730
+                 AND date_diff('day', CAST(o_orderdate AS DATE), DATE '{RUN_DATE}') < 1825 THEN 'Alter_2bis5'
+            ELSE 'Alter_Alle' END AS alter_tag
+FROM orders
+"""
+
+
+def _q_array_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents")).filter(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), r"\s+")
+    merged = F.concat(F.slice(words, 1, 3), F.slice(words, 5, 2))
+    return d.select("doc_id", F.array_join(merged, ",").alias("merged_words"))
+
+
+_SQL_ARRAY_CONCAT = """
+SELECT doc_id,
+       array_to_string(list_concat(list_slice(string_split_regex(text,'\\s+'), 1, 3),
+                                   list_slice(string_split_regex(text,'\\s+'), 5, 6)), ',') AS merged_words
+FROM documents WHERE doc_id < 100
+"""
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(_t(sf_dir, "customer")).select(F.col("c_nationkey").alias("nationkey"))
+    s = spark.read.parquet(_t(sf_dir, "supplier")).select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+_SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_ltz = F.col("ts").cast("timestamp")
+    gap = F.unix_millis(ts_ltz) - F.unix_millis(F.lag(ts_ltz).over(w))
+    is_new = F.when(gap.isNull() | (gap > 600_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select("user_id", "event_id", sess.cast("long").alias("session_id"))
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, event_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 600000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+"""
+
+
+def _q_wave_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_SQL_WAVE_METRICS = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey", F.round(run, 2).alias("running_total"))
+
+
+_SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    dup = d.filter(F.col("doc_id") < 20).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir)).select("h", "n_dups", "keep_id")
+
+
+_SQL_EXACT_DEDUP = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+)
+SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tok
+FROM documents
+"""
+
+
+def _sql_stop_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return (
+        f"(CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0::DOUBLE "
+        f"ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ({words}))) AS DOUBLE) "
+        f"/ len(string_split_regex(trim(text), '\\s+')) END)"
+    )
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_SQL_QUALITY = f"""
+SELECT doc_id, round(
+    0.4::DOUBLE * least(CAST(len(string_split_regex(trim(text),'\\s+')) AS DOUBLE) / 64.0::DOUBLE, 1.0::DOUBLE)
+  + 0.3::DOUBLE * least({_sql_stop_ratio('en')} * 5.0::DOUBLE, 1.0::DOUBLE)
+  + 0.15::DOUBLE * (CASE WHEN
+        (CAST(len(replace(trim(text),' ','')) AS DOUBLE)
+         / len(string_split_regex(trim(text),'\\s+'))) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+        THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+  + 0.15::DOUBLE * greatest(0.0::DOUBLE, 1.0::DOUBLE - (
+        CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / len(text)) * 4.0::DOUBLE)
+, 6) AS quality
+FROM documents
+"""
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+_SQL_LANGID = f"""
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_de, r_es, r_fr) = 0 THEN 'und'
+       WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
+       WHEN r_de = greatest(r_en, r_de, r_es, r_fr) THEN 'de'
+       WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM (
+  SELECT doc_id, {_sql_stop_ratio('en')} AS r_en, {_sql_stop_ratio('de')} AS r_de,
+         {_sql_stop_ratio('es')} AS r_es, {_sql_stop_ratio('fr')} AS r_fr
+  FROM documents
+)
+"""
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return brute_force_topk(e, q, k=5).select("q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank"))
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id, round(list_cosine_similarity(e.emb, q.q_vec), 6) AS cos
+  FROM e CROSS JOIN q
+)
+SELECT q_id, vec_id, nn_rank FROM (
+  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS nn_rank
+  FROM scored
+) WHERE nn_rank <= 5
+"""
+
+
+# --- rows-only queries (no SQL-expressible oracle) --------------------------
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs_with_planted_dups(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs_with_planted_dups(spark, sf_dir), max_hamming=8)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fp64"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").alias("nn_rank"))
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscraper_spark.operators.multimodal import decode_features, synth_media
+
+    return decode_features(synth_media(spark, 256)).select("media_id", "kind", "n_bytes", "width", "height", "status")
+
+
+def _q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl on the synthetic corpus (rows-only check: order table).
+    Clamped to sf0.01-scale so the correctness gate stays fast."""
+    from webscraper_spark.plans.wave import CrawlConfig, run_crawl
+    from webscraper_spark.sources.synth import materialize_corpus
+
+    sf = 0.001 if "0.001" in sf_dir else 0.01
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", f"corpus_sf{sf}")
+    os.makedirs(cache, exist_ok=True)
+    paths = materialize_corpus(spark, sf, cache)
+    load = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    ckpt = tempfile.mkdtemp(prefix="qcrawl_")
+    out = run_crawl(spark, load("pages"), load("seeds"), load("robots"), load("politeness"),
+                    ckpt, CrawlConfig(max_waves=3))
+    return spark.read.parquet(out["order"]).select("url", "host", "wave", "rank", "sched_ms")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "eligibility_filter": _q_eligibility_filter,
+        "anti_join_seen": _q_anti_join_seen,
+        "semi_join_seen": _q_semi_join_seen,
+        "frontier_rank_per_host": _q_frontier_rank,
+        "politeness_schedule": _q_politeness_schedule,
+        "topk_recency_per_group": _q_topk_recency,
+        "url_canonicalize": _q_url_canonicalize,
+        "host_group_count": _q_host_group,
+        "zip_positional_explode": _q_zip_positional,
+        "cross_join_pricing_matrix": _q_cross_join_pricing,
+        "variant_explode_counts": _q_variant_explode_counts,
+        "regex_extract_fields": _q_regex_extract,
+        "digit_strip_cast": _q_digit_strip,
+        "binning_tags": _q_binning_tags,
+        "age_binning": _q_age_binning,
+        "array_concat_join": _q_array_concat,
+        "union_distinct": _q_union_distinct,
+        "sessionize_events": _q_sessionize,
+        "wave_metrics_agg": _q_wave_metrics,
+        "running_total_window": _q_running_sum,
+        "exact_dedup_groups": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "langid_stopwords": _q_langid,
+        "embedding_cosine_topk": _q_embedding_topk,
+        # rows-only (non-SQL-expressible)
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_lsh_ann": _q_ann_lsh,
+        "multimodal_features": _q_multimodal_features,
+        "crawl_wave_e2e": _q_crawl_wave,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
+        "eligibility_filter": _SQL_ELIGIBILITY,
+        "anti_join_seen": _SQL_ANTI_JOIN,
+        "semi_join_seen": _SQL_SEMI_JOIN,
+        "frontier_rank_per_host": _SQL_FRONTIER_RANK,
+        "politeness_schedule": _SQL_POLITENESS,
+        "topk_recency_per_group": _SQL_TOPK_RECENCY,
+        "url_canonicalize": _SQL_CANONICALIZE,
+        "host_group_count": _SQL_HOST_GROUP,
+        "zip_positional_explode": _SQL_ZIP_POSITIONAL,
+        "cross_join_pricing_matrix": _SQL_PRICED,
+        "variant_explode_counts": _SQL_VARIANT_COUNTS,
+        "regex_extract_fields": _SQL_REGEX_EXTRACT,
+        "digit_strip_cast": _SQL_DIGIT_STRIP,
+        "binning_tags": _SQL_BINNING,
+        "age_binning": _SQL_AGE_BINNING,
+        "array_concat_join": _SQL_ARRAY_CONCAT,
+        "union_distinct": _SQL_UNION_DISTINCT,
+        "sessionize_events": _SQL_SESSIONIZE,
+        "wave_metrics_agg": _SQL_WAVE_METRICS,
+        "running_total_window": _SQL_RUNNING_SUM,
+        "exact_dedup_groups": _SQL_EXACT_DEDUP,
+        "token_count": _SQL_TOKEN_COUNT,
+        "quality_score": _SQL_QUALITY,
+        "langid_stopwords": _SQL_LANGID,
+        "embedding_cosine_topk": _SQL_EMBEDDING_TOPK,
+    }
