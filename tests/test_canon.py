@@ -46,3 +46,26 @@ def test_idempotent_on_corpus(spark, corpus_dir):
 def test_corpus_urls_already_canonical(spark, corpus_dir):
     pages = spark.read.parquet(corpus_dir["pages"])
     assert pages.filter(canonicalize_url(F.col("url")) != F.col("url")).count() == 0
+
+
+def test_arrow_engine_matches_native(spark, corpus_dir):
+    """canon_host_arrow must equal canonicalize_url/url_host on every outlink
+    in the corpus plus the edge cases."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.functions.canon import canon_host_arrow
+    from webscraper_spark.functions.extract import with_extraction
+
+    pages = spark.read.parquet(corpus_dir["pages"])
+    links = with_extraction(pages).select(F.explode("x_outlinks").alias("raw"))
+    edge = spark.createDataFrame([(c,) for c in CASES], "raw string")
+    both = links.unionByName(edge).select(
+        "raw",
+        canonicalize_url(F.col("raw")).alias("n_url"),
+        url_host(canonicalize_url(F.col("raw"))).alias("n_host"),
+        canon_host_arrow(F.col("raw")).alias("a"),
+    )
+    bad = both.filter(
+        ~F.col("n_url").eqNullSafe(F.col("a.url")) | ~F.col("n_host").eqNullSafe(F.col("a.host"))
+    )
+    assert bad.count() == 0, bad.take(5)

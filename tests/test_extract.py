@@ -81,3 +81,31 @@ def test_outlinks_in_document_order(spark):
     df = spark.createDataFrame([(html,)], "html binary")
     row = with_extraction(df).collect()[0]
     assert row.x_outlinks == ["https://h.example/b", "https://h.example/a"]
+
+
+def test_extract_engines_agree(spark, corpus_dir):
+    """The Arrow pandas-UDF engine must agree with the native-expression
+    engine on every column for every page (maps compared as sorted entries)."""
+    from webscraper_spark.functions.extract_pandas import with_extraction_arrow
+
+    pages = spark.read.parquet(corpus_dir["pages"])
+    def norm(df):
+        return df.withColumn(
+            "x_attr_map", F.to_json(F.map_entries(F.col("x_attr_map")))
+        ).select(*sorted(df.columns))
+
+    na = norm(with_extraction(pages))
+    ar = norm(with_extraction_arrow(pages))
+    assert na.exceptAll(ar).count() == 0
+    assert ar.exceptAll(na).count() == 0
+
+
+def test_extract_engines_agree_on_null_html(spark):
+    from webscraper_spark.functions.extract_pandas import with_extraction_arrow
+
+    df = spark.createDataFrame([("u1", None), ("u2", b"<html><body>x</body></html>")], "url string, html binary")
+    def norm(d):
+        return d.withColumn("x_attr_map", F.to_json(F.map_entries(F.col("x_attr_map")))).select(*sorted(d.columns))
+    a = norm(with_extraction(df)).collect()
+    b = norm(with_extraction_arrow(df)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

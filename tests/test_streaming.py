@@ -1,0 +1,71 @@
+"""Structured-Streaming surface: extraction stream, watermarked metrics,
+stateful politeness across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscraper_spark.streaming.stream import (
+    run_agg_stream_to_memory,
+    run_stream_to_memory,
+    stateful_politeness,
+    stream_extract,
+    stream_wave_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_stream_dir(spark, corpus_dir, tmp_path_factory):
+    """Pages re-written as a small number of files (streaming source dir)."""
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    spark.read.parquet(corpus_dir["pages"]).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_extract_matches_batch(spark, pages_stream_dir):
+    run_stream_to_memory(stream_extract(spark, pages_stream_dir), "sx")
+    got = spark.sql("SELECT count(*) n, sum(CASE WHEN x_status='ok' THEN 1 ELSE 0 END) ok FROM sx").first()
+    batch = spark.read.parquet(pages_stream_dir)
+    from webscraper_spark.functions.extract import with_extraction
+
+    want_n = batch.count()
+    want_ok = with_extraction(batch).filter(F.col("x_status") == "ok").count()
+    assert got.n == want_n and got.ok == want_ok
+
+
+def test_stream_metrics_watermarked(spark, pages_stream_dir):
+    run_agg_stream_to_memory(stream_wave_metrics(spark, pages_stream_dir, "60 minutes"), "sm")
+    rows = spark.sql("SELECT * FROM sm").collect()
+    assert len(rows) > 0
+    assert sum(r.n_pages for r in rows) == spark.read.parquet(pages_stream_dir).count()
+
+
+def test_stateful_politeness_across_microbatches(spark, tmp_path_factory):
+    """Two micro-batches of candidates for one host: batch 2's first fetch
+    must still be >= delay after batch 1's last (state carries last_ms)."""
+    d = str(tmp_path_factory.mktemp("cand_stream"))
+    schema = "host string, url string, depth int, disc_pos long, delay_ms long, arrival_ms long"
+    b1 = spark.createDataFrame(
+        [("h.example", f"https://h.example/a{i}", 0, i, 1000, 0) for i in range(5)], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/*")
+    out = stateful_politeness(src)
+    q = out.writeStream.outputMode("append").format("memory").queryName("pol").start()
+    q.processAllAvailable()
+    # second micro-batch arrives later
+    b2 = spark.createDataFrame(
+        [("h.example", f"https://h.example/b{i}", 1, i, 1000, 0) for i in range(3)], schema
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(spark.sql("SELECT * FROM pol").collect(), key=lambda r: r.sched_ms)
+    assert len(rows) == 8
+    gaps = [b.sched_ms - a.sched_ms for a, b in zip(rows, rows[1:])]
+    assert all(g >= 1000 for g in gaps), gaps  # politeness invariant incl. across batches

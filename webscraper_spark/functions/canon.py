@@ -51,3 +51,46 @@ def url_path(url: Column) -> Column:
 def url_hash(url: Column) -> Column:
     """64-bit identity used by the seen-set / bloom layers."""
     return F.xxhash64(url)
+
+
+# ---------------------------------------------------------------------------
+# Arrow engine — same semantics, one compiled-regex match per URL.
+# The native expressions above re-evaluate the URL regex once per extracted
+# component (~8 matches/URL); at outlink-expansion volume (millions of links
+# per wave) that is the hot spot. Python's re matches ONCE and slices every
+# group from the single Match. Equality with the native engine is enforced
+# by test_canon.test_arrow_engine_matches_native.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+import pandas as _pd
+from pyspark.sql import functions as _F
+from pyspark.sql import types as _T
+
+_URL_RE_PY = _re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$")
+_PORT_RE_PY = _re.compile(r":[0-9]+$")
+
+
+def _canon_host_py(u: str) -> tuple[str, str]:
+    u = u.strip(" ")  # F.trim strips spaces only
+    m = _URL_RE_PY.match(u)
+    if not m:
+        return u, ""
+    scheme = m.group(1).lower()
+    auth = m.group(2).lower()
+    if (scheme == "https" and auth.endswith(":443")) or (scheme == "http" and auth.endswith(":80")):
+        auth = _PORT_RE_PY.sub("", auth)
+    host = _PORT_RE_PY.sub("", auth)
+    path = m.group(3) or "/"
+    if path == "":
+        path = "/"
+    q = m.group(4) or ""
+    q = "?" + "&".join(sorted(q[1:].split("&"))) if len(q) > 1 else ""
+    return f"{scheme}://{auth}{path}{q}", host
+
+
+@_F.pandas_udf(_T.StructType([_T.StructField("url", _T.StringType()), _T.StructField("host", _T.StringType())]))
+def canon_host_arrow(raw: _pd.Series) -> _pd.DataFrame:
+    pairs = [(None, None) if u is None else _canon_host_py(u) for u in raw]
+    return _pd.DataFrame(pairs, columns=["url", "host"])

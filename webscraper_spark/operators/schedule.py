@@ -32,22 +32,26 @@ def rank_candidates(cand: DataFrame) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(w))
 
 
-def schedule_wave(cand: DataFrame, budgets: DataFrame, wave: int) -> tuple[DataFrame, DataFrame]:
-    """Split ranked candidates into (batch, deferred) and assign sched_ms.
-
-    batch: rank <= host budget, with the simulated fetch timestamp.
-    deferred: over-budget rows that stay in the frontier (original discovery
-    metadata intact so they compete fairly next wave).
-    """
+def schedule_ranked(cand: DataFrame, budgets: DataFrame, wave: int) -> DataFrame:
+    """Rank + budget-gate + simulated clock in ONE relation: in_budget marks
+    the fetch batch; over-budget rows keep their discovery metadata and stay
+    in the frontier. One output -> one materialization per wave."""
     ranked = rank_candidates(cand).join(F.broadcast(budgets), "host", "left")
     ranked = ranked.withColumn("max_pages", F.coalesce(F.col("max_pages"), F.lit(40))).withColumn(
         "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(1000))
     )
-    batch = ranked.filter(F.col("rank") <= F.col("max_pages")).withColumn(
+    return ranked.withColumn("in_budget", F.col("rank") <= F.col("max_pages")).withColumn(
         "sched_ms",
-        (F.lit(wave).cast("long") * WAVE_EPOCH_MS + (F.col("rank") - 1).cast("long") * F.col("delay_ms")),
+        F.when(
+            F.col("in_budget"),
+            F.lit(wave).cast("long") * WAVE_EPOCH_MS + (F.col("rank") - 1).cast("long") * F.col("delay_ms"),
+        ),
     )
-    deferred = ranked.filter(F.col("rank") > F.col("max_pages")).select(
-        "url", "host", "depth", "disc_wave", "disc_pos"
-    )
+
+
+def schedule_wave(cand: DataFrame, budgets: DataFrame, wave: int) -> tuple[DataFrame, DataFrame]:
+    """(batch, deferred) split view over schedule_ranked."""
+    ranked = schedule_ranked(cand, budgets, wave)
+    batch = ranked.filter(F.col("in_budget"))
+    deferred = ranked.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
     return batch, deferred

@@ -29,15 +29,18 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from webscraper_spark.functions.canon import canonicalize_url, url_hash, url_host
-from webscraper_spark.functions.extract import extracted_text, listing_text, with_extraction
+from webscraper_spark.functions.canon import canon_host_arrow, canonicalize_url, url_hash, url_host
+from webscraper_spark.functions.extract import extracted_text, listing_text
+from webscraper_spark.functions.extract_pandas import with_extraction_arrow
 from webscraper_spark.operators.robots import apply_robots, resolve_budgets
-from webscraper_spark.operators.schedule import schedule_wave
+from webscraper_spark.operators.schedule import schedule_ranked
 from webscraper_spark.operators.seen import anti_join_seen, build_bloom_table
 
 MAX_LINKS_PER_PAGE = 1024
@@ -56,8 +59,31 @@ RESULT_COLS = [
 @dataclass
 class CrawlConfig:
     max_waves: int = 16
+    # Bloom-assisted seen filtering: per-bucket bitsets broadcast in ~MBs
+    # where a raw 10^8+-row seen-set could not broadcast at all. OFF by
+    # default — below ~10M seen rows the bucket shuffles + Python probe
+    # stages cost more than the plain anti-join they replace (measured 5x at
+    # sandbox scale); flip on when the seen set outgrows broadcast range.
     use_bloom: bool = False
     n_buckets: int = 64
+    # Politeness-bounded batches (the normal crawl regime) broadcast: tiny
+    # build, zero corpus movement. Above the threshold the driver-side
+    # broadcast build becomes the serial bottleneck (it grows linearly with
+    # the batch), so the join flips to a shuffled hash join — the sandbox
+    # stand-in for the bucketed storage-partitioned join an Iceberg
+    # deployment would use (bucket(url) on both sides; no corpus shuffle).
+    broadcast_batch_threshold: int = 5_000_000
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — zero Spark jobs."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
 
 
 def _wave_dir(ckpt_dir: str, wave: int) -> str:
@@ -110,20 +136,22 @@ def expand_outlinks(fetched: DataFrame, wave: int) -> DataFrame:
             F.posexplode("x_outlinks").alias("link_pos", "raw_url"),
         )
         .select(
-            canonicalize_url(F.col("raw_url")).alias("url"),
+            # Arrow canonicalizer: one compiled-regex match per URL (the
+            # native expression re-runs the URL regex per component — at
+            # millions of outlinks per wave that was the top hot spot)
+            canon_host_arrow(F.col("raw_url")).alias("ch"),
             (F.col("p_depth") + 1).cast("int").alias("depth"),
             F.lit(wave + 1).cast("int").alias("disc_wave"),
             (F.col("p_rank").cast("long") * MAX_LINKS_PER_PAGE
              + F.least(F.col("link_pos").cast("long"), F.lit(MAX_LINKS_PER_PAGE - 1))).alias("disc_pos"),
         )
+        .select(F.col("ch.url").alias("url"), F.col("ch.host").alias("host"), "depth", "disc_wave", "disc_pos")
     )
     dedup = (
         links.groupBy("url")
-        .agg(F.min(F.struct("depth", "disc_wave", "disc_pos")).alias("m"))
-        .select("url", F.col("m.depth").alias("depth"), F.col("m.disc_wave").alias("disc_wave"),
+        .agg(F.min(F.struct("depth", "disc_wave", "disc_pos")).alias("m"), F.max("host").alias("host"))
+        .select("url", "host", F.col("m.depth").alias("depth"), F.col("m.disc_wave").alias("disc_wave"),
                 F.col("m.disc_pos").alias("disc_pos"))
-        .withColumn("host", url_host(F.col("url")))
-        .select("url", "host", "depth", "disc_wave", "disc_pos")
     )
     return dedup
 
@@ -163,7 +191,9 @@ def run_crawl(
     if completed:
         start_wave = max(completed) + 1
         frontier = spark.read.parquet(os.path.join(_wave_dir(ckpt_dir, max(completed)), "frontier"))
-        seen = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "seen_delta") for w in completed])
+        seen = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "fetched") for w in completed]).select(
+            url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave")
+        )
     else:
         start_wave = 0
         frontier = seeds_to_frontier(seeds)
@@ -181,9 +211,27 @@ def run_crawl(
 
     pages_slim = pages  # full table; Catalyst prunes columns per stage
 
+    debug = os.environ.get("WS_DEBUG_TIMING", "0") == "1"
+
+    # AQE partition coalescing is actively harmful to wave plans: the
+    # outlink-expansion shuffles are byte-small but compute-dense (regex
+    # canonicalization), and coalescing collapses them to 1-2 partitions —
+    # measured as a bimodal 2x whole-run regression. Disable for the wave
+    # loop only; restore the session value afterwards.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+
+    def _tick(label: str, t0: float) -> float:
+        t1 = time.time()
+        if debug:
+            print(f"    [wave timing] {label}: {t1 - t0:.2f}s", file=sys.stderr)
+        return t1
+
     for wave in range(start_wave, cfg.max_waves):
         wdir = _wave_dir(ckpt_dir, wave)
         os.makedirs(wdir, exist_ok=True)
+        tw = time.time()
 
         # 1. candidates minus seen (bloom-assisted when configured)
         bloom = build_bloom_table(seen, cfg.n_buckets) if cfg.use_bloom else None
@@ -192,58 +240,78 @@ def run_crawl(
         # 2. robots
         cand = apply_robots(cand, robots)
 
-        # 3. rank + budget + simulated politeness clock
-        batch, deferred = schedule_wave(cand, budgets, wave)
-        if batch.isEmpty():
+        # 3. rank + budget + simulated politeness clock.
+        # Materialize the ranked schedule ONCE: the schedule subtree
+        # (anti-join + robots + skewed per-host window) would otherwise be
+        # re-executed by every consumer (broadcast build, miss anti-join,
+        # frontier merge). Emptiness comes from parquet footers (no job).
+        sched = schedule_ranked(cand, budgets, wave)
+        sched.write.mode("overwrite").parquet(os.path.join(wdir, "sched"))
+        sched = spark.read.parquet(os.path.join(wdir, "sched"))
+        batch = sched.filter(F.col("in_budget"))
+        deferred = sched.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
+        n_batch = _parquet_rows(os.path.join(wdir, "sched"))  # upper bound; exact check below
+        if n_batch == 0 or batch.isEmpty():
             break
+        tw = _tick(f'w{wave} schedule+materialize', tw)
 
-        # 4. fetch = left join against the pages corpus on canonical url
-        fetched = batch.join(pages_slim, "url", "left")
-        fetched = fetched.withColumn(
-            "fetch_status", F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(F.lit("missing"))
+        # 4. fetch = join against the pages corpus on canonical url.
+        # The batch is ALWAYS the broadcast side — never let Catalyst
+        # broadcast the corpus (at 10^10 rows the corpus is only ever
+        # scanned; the batch hash table streams past it). Misses are
+        # recovered with a cheap anti-join on the small batch.
+        small_batch = n_batch <= cfg.broadcast_batch_threshold
+        batch_side = F.broadcast(batch) if small_batch else batch.hint("SHUFFLE_HASH")
+        hits = pages_slim.join(batch_side, "url", "inner").withColumn("fetch_status", F.lit("ok"))
+        misses = (
+            batch.join(pages_slim.select("url") if small_batch else pages_slim.select("url").hint("SHUFFLE_HASH"),
+                       "url", "left_anti")
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string"))
+            .withColumn("fetch_status", F.lit("missing"))
         )
+        fetched = hits.unionByName(misses.select(*hits.columns))
 
-        # 5. extract (codegen regexp stage) + byte-exact text rebuild
-        fetched = with_extraction(fetched)
-        fetched = fetched.withColumn(
-            "extracted_text",
-            F.when(F.col("x_status") == "listing", listing_text())
-            .when(F.col("x_status") == "ok", extracted_text())
-            .otherwise(F.lit(None).cast("string")),
-        ).withColumn("wave", F.lit(wave))
+        # 5. extract (Arrow pandas-UDF engine — one Python evaluation per
+        # row; byte-identical to the native-expression engine by test)
+        fetched = with_extraction_arrow(fetched)
+        fetched = (
+            fetched.withColumn(
+                "extracted_text",
+                F.when(F.col("x_status") == "listing", listing_text())
+                .when(F.col("x_status") == "ok", extracted_text())
+                .otherwise(F.lit(None).cast("string")),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("fetch_bytes", F.coalesce(F.length("html").cast("long"), F.lit(0)))
+            # html/text are fully consumed by extraction — dropping them cuts
+            # the per-wave checkpoint from ~3KB/row to ~100B/row (at corpus
+            # scale the checkpoint must never re-store page bodies)
+            .drop("html", "text")
+        )
 
         # materialize the wave once; everything below reuses it
         fetched.write.mode("overwrite").parquet(os.path.join(wdir, "fetched"))
         fetched = spark.read.parquet(os.path.join(wdir, "fetched"))
+        tw = _tick(f'w{wave} fetch+extract+write', tw)
 
-        # 6. outlinks -> next frontier
+        # 6. outlinks -> next frontier. seen/order/results/metrics are all
+        # projections of the materialized `fetched` — no extra per-wave
+        # writes (finalized ONCE after the loop; at 10^10 scale these are
+        # metadata-only views over the wave files).
         new_cand = expand_outlinks(fetched, wave)
-        seen_delta = fetched.select(url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int"))
-        seen_delta.write.mode("overwrite").parquet(os.path.join(wdir, "seen_delta"))
-        seen_delta = spark.read.parquet(os.path.join(wdir, "seen_delta"))
+        seen_delta = fetched.select(url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave"))
 
-        next_frontier = merge_frontier(deferred, new_cand).join(
-            seen_delta.select("url").unionByName(seen.select("url")), "url", "left_anti"
-        )
+        # No seen anti-join here: already-fetched urls are eliminated by the
+        # next wave's bloom-assisted anti-join anyway, and filtering now
+        # would broadcast/shuffle the whole seen set once more per wave.
+        # (The frontier checkpoint may therefore carry some seen urls — the
+        # crawl order/seen-set semantics are unchanged; oracle-verified.)
+        next_frontier = merge_frontier(deferred, new_cand)
         next_frontier.write.mode("overwrite").parquet(os.path.join(wdir, "frontier"))
-
-        # 7. order / results / metrics
-        fetched.select("url", "host", "wave", F.col("rank").cast("int").alias("rank"), "sched_ms").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(wdir, "order"))
-        fetched.select(*RESULT_COLS).write.mode("overwrite").parquet(os.path.join(wdir, "results"))
-        (
-            fetched.groupBy("wave", "host")
-            .agg(
-                F.count("*").alias("urls_scheduled"),
-                F.sum(F.when(F.col("x_status") == "ok", 1).otherwise(0)).alias("urls_ok"),
-                F.sum(F.when(F.col("x_status") == "err", 1).otherwise(0)).alias("urls_err"),
-                F.sum(F.coalesce(F.length("html").cast("long"), F.lit(0))).alias("bytes_fetched"),
-                F.sum(F.coalesce(F.size("x_outlinks"), F.lit(0)).cast("long")).alias("outlinks"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(wdir, "metrics"))
-        )
+        tw = _tick(f'w{wave} frontier-merge+write', tw)
 
         completed.append(wave)
         _write_manifest(ckpt_dir, completed)
@@ -252,11 +320,36 @@ def run_crawl(
         seen = seen.unionByName(seen_delta)
 
     budgets.unpersist()
-    return {
+    spark.conf.set(coalesce_key, prev_coalesce)
+
+    # finalize: single derived views over all waves' fetched files
+    paths = {
         "ckpt_dir": ckpt_dir,
         "waves": json.dumps(completed),
-        "order": os.path.join(ckpt_dir, "wave=*", "order"),
-        "results": os.path.join(ckpt_dir, "wave=*", "results"),
-        "seen": os.path.join(ckpt_dir, "wave=*", "seen_delta"),
-        "metrics": os.path.join(ckpt_dir, "wave=*", "metrics"),
+        "order": os.path.join(ckpt_dir, "order"),
+        "results": os.path.join(ckpt_dir, "results"),
+        "seen": os.path.join(ckpt_dir, "seen"),
+        "metrics": os.path.join(ckpt_dir, "metrics"),
     }
+    if completed:
+        all_fetched = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "fetched") for w in completed])
+        all_fetched.select(
+            "url", "host", "wave", F.col("rank").cast("int").alias("rank"), "sched_ms"
+        ).write.mode("overwrite").parquet(paths["order"])
+        all_fetched.select(*RESULT_COLS).write.mode("overwrite").parquet(paths["results"])
+        all_fetched.select(
+            url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave")
+        ).write.mode("overwrite").parquet(paths["seen"])
+        (
+            all_fetched.groupBy("wave", "host")
+            .agg(
+                F.count("*").alias("urls_scheduled"),
+                F.sum(F.when(F.col("x_status") == "ok", 1).otherwise(0)).alias("urls_ok"),
+                F.sum(F.when(F.col("x_status") == "err", 1).otherwise(0)).alias("urls_err"),
+                F.sum("fetch_bytes").alias("bytes_fetched"),
+                F.sum(F.coalesce(F.size("x_outlinks"), F.lit(0)).cast("long")).alias("outlinks"),
+            )
+            .write.mode("overwrite")
+            .parquet(paths["metrics"])
+        )
+    return paths

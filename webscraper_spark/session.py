@@ -36,8 +36,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime re-planning, partition coalescing, skew-join splitting.
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (WS_NO_AQE=1 disables it — used to A/B plan-stability issues.)
+        .config("spark.sql.adaptive.enabled", "false" if os.environ.get("WS_NO_AQE") == "1" else "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", os.environ.get("WS_AQE_COALESCE", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime bloom-filter pushdown for big joins (the J1 anti-join path).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
@@ -49,7 +50,14 @@ def get_spark(
         # Local mode: the driver is the only JVM; give it the memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast only genuinely small sides: large broadcast builds are
+        # single-threaded on the driver and scale with data — the seen-set
+        # anti-joins must shuffle (parallel) instead once they grow.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # Hash join over sort-merge where possible: wave joins are
+        # equi-joins on url with no useful ordering; sorting page rows is
+        # wasted work.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

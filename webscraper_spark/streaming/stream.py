@@ -1,0 +1,98 @@
+"""Structured-Streaming expression of the crawl's incremental semantics
+(SURVEY.md §2.8): the reference is a long-running incremental loop with
+rate limiting and late/dirty-data tolerance; here the same concepts run as
+real streams for deployments that feed pages continuously instead of in
+batch waves.
+
+- stream_extract: readStream over a pages directory -> the same codegen
+  extraction as the batch path -> sink (micro-batch ≙ crawl wave,
+  foreachBatch-compatible).
+- stream_wave_metrics: windowed per-host counters with a watermark (late
+  fetches tolerated up to the watermark horizon; ST4).
+- stateful_politeness: applyInPandasWithState — per-host state carries the
+  last simulated fetch time so each micro-batch schedules fetches at least
+  `delay_ms` apart, resuming from state across batches (ST1/ST3 as true
+  streaming state).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from webscraper_spark.functions.extract import with_extraction
+from webscraper_spark.schemas import PAGES
+
+
+def stream_extract(spark: SparkSession, pages_dir: str) -> DataFrame:
+    """Streaming extraction: each new parquet file of pages becomes a
+    micro-batch through the identical extraction expressions as the batch
+    engine (same codegen; zero Python)."""
+    src = spark.readStream.schema(PAGES).parquet(pages_dir)
+    ex = with_extraction(src)
+    return ex.select("url", "warc_ts", "lang", "x_status", "x_title", "x_price_cell", "x_outlinks")
+
+
+def stream_wave_metrics(spark: SparkSession, pages_dir: str, window: str = "10 minutes") -> DataFrame:
+    """Watermarked windowed counters per (window, lang): the streaming form
+    of the per-wave metrics table."""
+    src = spark.readStream.schema(PAGES).parquet(pages_dir)
+    return (
+        src.withWatermark("warc_ts", "30 minutes")
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("html")).alias("bytes"))
+    )
+
+
+_POLITE_OUT_SCHEMA = "host string, url string, sched_ms long"
+_POLITE_STATE_SCHEMA = "last_ms long"
+
+
+def _polite_fn(key: tuple, pdfs: Any, state: GroupState):
+    """Per-host scheduler: space fetches >= delay_ms apart, carrying the
+    last scheduled time across micro-batches in GroupState."""
+    (host,) = key
+    last_ms = state.get[0] if state.exists else -10_000_000
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["depth", "disc_pos", "url"])
+        for r in pdf.itertuples(index=False):
+            sched = max(last_ms + int(r.delay_ms), int(r.arrival_ms))
+            last_ms = sched
+            rows.append((host, r.url, sched))
+    state.update((last_ms,))
+    yield pd.DataFrame(rows, columns=["host", "url", "sched_ms"])
+
+
+def stateful_politeness(candidates: DataFrame) -> DataFrame:
+    """candidates: streaming DF (host, url, depth, disc_pos, delay_ms,
+    arrival_ms) -> (host, url, sched_ms) with per-host spacing preserved
+    across micro-batches via GroupState."""
+    return (
+        candidates.groupBy("host")
+        .applyInPandasWithState(
+            _polite_fn,
+            outputStructType=_POLITE_OUT_SCHEMA,
+            stateStructType=_POLITE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming DF to completion over the currently-available input
+    (batch-like smoke harness for tests)."""
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def run_agg_stream_to_memory(df: DataFrame, name: str) -> None:
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
