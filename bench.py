@@ -90,8 +90,19 @@ def _noop_write(df) -> None:
 
 def _scale_run(cores: int, sf: float, max_waves: int) -> None:
     """Subprocess entry: one measurement in a fresh JVM (in-process session
-    reuse pollutes the JIT code cache and skews later runs)."""
+    reuse pollutes the JIT code cache and skews later runs).
+
+    An untimed warmup crawl (sf0.01) runs first in the same session: it
+    spawns the Python worker pool, JIT-compiles the codegen'd stages, and
+    primes the parquet read/write paths, so the timed run measures
+    steady-state throughput instead of cold-JVM startup."""
+    from webscraper_spark.sources.synth import materialize_corpus
+
     spark = _fresh_spark(cores)
+    warm_cache = os.path.join(REPO, ".cache", "corpus_sf0.01")
+    warm_paths = materialize_corpus(spark, 0.01, warm_cache)
+    run_crawl_job(spark, warm_paths, max_waves=2)
+
     cache = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
     paths = {n: os.path.join(cache, n) for n in ("pages", "seeds", "robots", "politeness")}
     sec, n = run_crawl_job(spark, paths, max_waves)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from webscraper_spark.functions.canon import canonicalize_url, url_host
+
 
 def _re1(col: Column, pattern: str, group: int = 1) -> Column:
     """regexp_extract with no-match -> NULL (Spark returns '' on no match)."""
@@ -201,6 +203,8 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn("x_phone", x_phone(h))
         .withColumn("x_pubdate", x_pubdate(h))
         .withColumn("x_outlinks", x_outlinks(h))
+        .withColumn("x_outlinks_canon", F.transform(F.col("x_outlinks"), canonicalize_url))
+        .withColumn("x_outlink_hosts", F.transform(F.col("x_outlinks_canon"), url_host))
         .withColumn("x_is_listing", x_is_listing(h))
     )
     status = (

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from webscraper_spark.functions.canon import _canon_host_py
+
 _S = lambda: T.StringType()  # noqa: E731
 X_STRUCT = T.StructType(
     [
@@ -47,6 +49,11 @@ X_STRUCT = T.StructType(
         T.StructField("x_phone", _S()),
         T.StructField("x_pubdate", _S()),
         T.StructField("x_outlinks", T.ArrayType(_S())),
+        # canonical form + host per outlink, computed IN the same UDF pass:
+        # chaining a second pandas UDF behind this one doubles the Python
+        # worker set per task and was measured to anti-scale 3x at local[32]
+        T.StructField("x_outlinks_canon", T.ArrayType(_S())),
+        T.StructField("x_outlink_hosts", T.ArrayType(_S())),
         T.StructField("x_is_listing", T.BooleanType()),
     ]
 )
@@ -103,6 +110,12 @@ def extract_all_udf(html_s: pd.Series) -> pd.DataFrame:
     dds = findall(h, _P["dd"])
     attr_map = [dict(zip(a, b)) if a is not None else None for a, b in zip(dts, dds)]
     imgs = [["https:" + u for u in lst] if lst is not None else None for lst in findall(h, _P["img"])]
+    outlinks = findall(h, _P["href"])
+    canon_pairs = [
+        [(_canon_host_py(u)) for u in lst] if lst is not None else None for lst in outlinks
+    ]
+    canon_urls = [[p[0] for p in lst] if lst is not None else None for lst in canon_pairs]
+    canon_hosts = [[p[1] for p in lst] if lst is not None else None for lst in canon_pairs]
 
     out = pd.DataFrame(
         {
@@ -130,7 +143,9 @@ def extract_all_udf(html_s: pd.Series) -> pd.DataFrame:
             # Ruby sub: FIRST occurrence only (cars_controller.rb:242)
             "x_phone": phone_raw.str.replace(_P["phone_strip"], "", regex=True),
             "x_pubdate": _x1(h, _P["pubdate"]),
-            "x_outlinks": findall(h, _P["href"]),
+            "x_outlinks": outlinks,
+            "x_outlinks_canon": canon_urls,
+            "x_outlink_hosts": canon_hosts,
             "x_is_listing": h.str.contains('<ul class="resultList">', regex=False).astype(object).where(h.notna(), None),
         }
     )

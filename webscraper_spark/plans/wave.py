@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from webscraper_spark.functions.canon import canon_host_arrow, canonicalize_url, url_hash, url_host
+from webscraper_spark.functions.canon import canonicalize_url, url_hash, url_host
 from webscraper_spark.functions.extract import extracted_text, listing_text
 from webscraper_spark.functions.extract_pandas import with_extraction_arrow
 from webscraper_spark.operators.robots import apply_robots, resolve_budgets
@@ -86,6 +86,29 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
+    """Size file-scan splits so the corpus scan parallelizes to the cluster.
+
+    The default maxPartitionBytes=128MB / openCostInBytes=4MB bin-packs a
+    small-file corpus into 1-2 input partitions, serializing the fetch-join +
+    extraction stage (the CPU-heavy stage of every wave) regardless of core
+    count. Target ~2 splits per core; clamp to [1MB, 128MB] so at real scale
+    (100TB ≈ 800k default splits already ≫ cores) this converges to the
+    stock default and is a no-op.
+    """
+    try:
+        files = [f[7:] if f.startswith("file:") else f for f in source.inputFiles()]
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    except Exception:
+        return
+    if total <= 0:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    mpb = min(max(total // max(cores * 2, 1), 1 << 20), 128 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max(min(mpb // 8, 4 << 20), 64 << 10)))
+
+
 def _wave_dir(ckpt_dir: str, wave: int) -> str:
     return os.path.join(ckpt_dir, f"wave={wave}")
 
@@ -129,23 +152,24 @@ def expand_outlinks(fetched: DataFrame, wave: int) -> DataFrame:
     """Outlinks of fetched pages -> new frontier candidates (dedup by url,
     keeping the minimal (depth, disc_wave, disc_pos) discovery record)."""
     links = (
-        fetched.filter(F.col("x_outlinks").isNotNull() & (F.size("x_outlinks") > 0))
+        fetched.filter(F.col("x_outlinks_canon").isNotNull() & (F.size("x_outlinks_canon") > 0))
         .select(
             F.col("depth").alias("p_depth"),
             F.col("rank").alias("p_rank"),
-            F.posexplode("x_outlinks").alias("link_pos", "raw_url"),
+            # canonical url + host were computed inside the extraction UDF
+            # (one compiled-regex match per URL, zero extra Python stages —
+            # a chained canon UDF here doubled the per-task Python worker
+            # set and anti-scaled 3x at local[32])
+            F.posexplode(F.arrays_zip("x_outlinks_canon", "x_outlink_hosts")).alias("link_pos", "lk"),
         )
         .select(
-            # Arrow canonicalizer: one compiled-regex match per URL (the
-            # native expression re-runs the URL regex per component — at
-            # millions of outlinks per wave that was the top hot spot)
-            canon_host_arrow(F.col("raw_url")).alias("ch"),
+            F.col("lk.x_outlinks_canon").alias("url"),
+            F.col("lk.x_outlink_hosts").alias("host"),
             (F.col("p_depth") + 1).cast("int").alias("depth"),
             F.lit(wave + 1).cast("int").alias("disc_wave"),
             (F.col("p_rank").cast("long") * MAX_LINKS_PER_PAGE
              + F.least(F.col("link_pos").cast("long"), F.lit(MAX_LINKS_PER_PAGE - 1))).alias("disc_pos"),
         )
-        .select(F.col("ch.url").alias("url"), F.col("ch.host").alias("host"), "depth", "disc_wave", "disc_pos")
     )
     dedup = (
         links.groupBy("url")
@@ -210,6 +234,7 @@ def run_crawl(
     _ = hosts
 
     pages_slim = pages  # full table; Catalyst prunes columns per stage
+    tune_scan_splits(spark, pages)
 
     debug = os.environ.get("WS_DEBUG_TIMING", "0") == "1"
 
@@ -241,19 +266,22 @@ def run_crawl(
         cand = apply_robots(cand, robots)
 
         # 3. rank + budget + simulated politeness clock.
-        # Materialize the ranked schedule ONCE: the schedule subtree
-        # (anti-join + robots + skewed per-host window) would otherwise be
-        # re-executed by every consumer (broadcast build, miss anti-join,
-        # frontier merge). Emptiness comes from parquet footers (no job).
-        sched = schedule_ranked(cand, budgets, wave)
-        sched.write.mode("overwrite").parquet(os.path.join(wdir, "sched"))
-        sched = spark.read.parquet(os.path.join(wdir, "sched"))
+        # Persist the ranked schedule ONCE (memory, spill-to-disk): the
+        # schedule subtree (anti-join + robots + skewed per-host window)
+        # would otherwise be re-executed by every consumer (broadcast build,
+        # miss anti-join, frontier merge). In-memory persist, NOT a parquet
+        # barrier — the schedule is recomputable from the frontier
+        # checkpoint, so durability buys nothing and the write+read barrier
+        # was a measured per-wave serial cost.
+        sched = schedule_ranked(cand, budgets, wave).persist()
+        counts = {r["in_budget"]: r["n"] for r in sched.groupBy("in_budget").agg(F.count("*").alias("n")).collect()}
+        n_batch = counts.get(True, 0)
         batch = sched.filter(F.col("in_budget"))
         deferred = sched.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
-        n_batch = _parquet_rows(os.path.join(wdir, "sched"))  # upper bound; exact check below
-        if n_batch == 0 or batch.isEmpty():
+        if n_batch == 0:
+            sched.unpersist()
             break
-        tw = _tick(f'w{wave} schedule+materialize', tw)
+        tw = _tick(f'w{wave} schedule+persist', tw)
 
         # 4. fetch = join against the pages corpus on canonical url.
         # The batch is ALWAYS the broadcast side — never let Catalyst
@@ -292,7 +320,12 @@ def run_crawl(
             .drop("html", "text")
         )
 
-        # materialize the wave once; everything below reuses it
+        # materialize the wave once; everything below reuses it.
+        # (Deliberately NOT repartitioned before the write: rows carry
+        # ~3KB of array columns, and a round-robin repartition pays
+        # sort-before-repartition + a full shuffle of those bytes — measured
+        # 564 task-seconds for 529MB at sf0.4. Scan-split-count output files
+        # are the cheaper evil; finalize reads them once.)
         fetched.write.mode("overwrite").parquet(os.path.join(wdir, "fetched"))
         fetched = spark.read.parquet(os.path.join(wdir, "fetched"))
         tw = _tick(f'w{wave} fetch+extract+write', tw)
@@ -311,6 +344,7 @@ def run_crawl(
         # crawl order/seen-set semantics are unchanged; oracle-verified.)
         next_frontier = merge_frontier(deferred, new_cand)
         next_frontier.write.mode("overwrite").parquet(os.path.join(wdir, "frontier"))
+        sched.unpersist()
         tw = _tick(f'w{wave} frontier-merge+write', tw)
 
         completed.append(wave)
@@ -332,6 +366,9 @@ def run_crawl(
         "metrics": os.path.join(ckpt_dir, "metrics"),
     }
     if completed:
+        # four projections re-scan the wave files; a persist() here is a trap
+        # (columnar-cache build of the array columns cost 410s of GC at sf0.4
+        # — parquet re-reads are far cheaper than caching fat rows)
         all_fetched = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "fetched") for w in completed])
         all_fetched.select(
             "url", "host", "wave", F.col("rank").cast("int").alias("rank"), "sched_ms"

@@ -401,7 +401,12 @@ def materialize_corpus(spark: SparkSession, sf: float, out_dir: str, force: bool
     marker = os.path.join(out_dir, "_COMPLETE")
     if not force and os.path.exists(marker):
         return paths
-    gen_pages(spark, p).repartition(max(8, spark.sparkContext.defaultParallelism)).write.mode("overwrite").parquet(paths["pages"])
+    # Fine-grained files (1 row group each): scan-split granularity is capped
+    # at row-group count, and a corpus written as cores×1 files makes every
+    # downstream scan exactly 1 task/core — straggler-bound with no
+    # pipelining. 256 files gives ~8 tasks/core at local[32] at any sf.
+    n_files = 64 if p.n_details < 50_000 else 256
+    gen_pages(spark, p).repartition(n_files).write.mode("overwrite").parquet(paths["pages"])
     gen_seeds(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["seeds"])
     gen_robots(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["robots"])
     gen_politeness(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["politeness"])
