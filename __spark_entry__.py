@@ -36,7 +36,9 @@ from webscraper_spark.functions.derive import (  # noqa: E402
     with_tags,
     with_typed,
 )
+from webscraper_spark.functions.derive import shopify_body  # noqa: E402
 from webscraper_spark.functions.extract import with_extraction  # noqa: E402
+from webscraper_spark.functions.shopify import hires_images, shopify_sheet  # noqa: E402
 from webscraper_spark.functions.pricing import (  # noqa: E402
     preis_12_s_expr,
     price_dims,
@@ -84,12 +86,11 @@ def entry(spark: SparkSession) -> DataFrame:
     cars = with_car_pricing_inputs(with_typed(results)).filter(eligibility())
     cars = with_tags(with_identity(cars)).withColumn("preis_tag", preis_tag(preis_12_s_expr())).withColumn(
         "tags", tags_string()
-    )
+    ).withColumn("body_html", shopify_body())
     v = variant_rows(price_matrix(cars, price_dims(spark)))
-    return v.select(
-        "url", "handle", "vendor", "tags", "row_kind", "duration", "package",
-        "option_duration", "option_km", "preis", "reselling",
-    )
+    # Full 93-column Shopify import sheet (reference's actual product),
+    # keyed by (url, row_kind, duration, package) for stable identity.
+    return shopify_sheet(v, keys=("url", "row_kind", "duration", "package"))
 
 
 # ---------------------------------------------------------------------------
@@ -652,6 +653,147 @@ SELECT q_id, vec_id, nn_rank FROM (
 """
 
 
+def _synth_gallery(n_img) -> F.Column:
+    """Deterministic per-car gallery of '$_27.jpg' URLs (mirrors the synth
+    corpus shape). Guarded: F.sequence(1, 0) yields DESCENDING [1, 0]."""
+    return F.when(
+        n_img >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_img),
+            lambda i: F.format_string("https://img.example.de/%d/%d/$_27.jpg", F.col("car_key"), i),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _q_image_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hi-res gallery rewrite: literal '$_27.jpg' -> '$_57.jpg' per URL
+    (ref: car_dealers_controller.rb:205)."""
+    cars = _cars_from_lineitem(spark, sf_dir)
+    raw = _synth_gallery(F.pmod("car_key", F.lit(24)).cast("int"))
+    return cars.select("car_key", F.posexplode(hires_images(raw)).alias("pos", "img_url"))
+
+
+_SQL_IMAGE_REWRITE = f"""
+WITH cars AS ({_SQL_CARS}),
+e AS (SELECT car_key, unnest(generate_series(1, car_key % 24)) AS i FROM cars)
+SELECT car_key, CAST(i - 1 AS INTEGER) AS pos,
+       replace('https://img.example.de/' || car_key || '/' || i || '/$_27.jpg',
+               '$_27.jpg', '$_57.jpg') AS img_url
+FROM e
+"""
+
+
+def _q_shopify_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 93-column Shopify import sheet over deterministic cars: layout,
+    master-vs-variant nils, option values, constants, prices, and the
+    positional image pairs (Bild_0 dropped, position = gallery index,
+    hi-res rewrite applied). Body/tag *templates* are byte-tested in
+    tests/test_pricing.py; here they are deterministic stand-ins so the
+    oracle checks the sheet arithmetic."""
+    cars = with_car_pricing_inputs(_cars_from_lineitem(spark, sf_dir))
+    ck = F.col("car_key").cast("string")
+    cars = (
+        cars.withColumn("x_images", _synth_gallery(F.pmod("car_key", F.lit(24)).cast("int")))
+        .withColumn("x_dealer_name", F.concat(F.lit("Dealer "), ck))
+        .withColumn("x_address_raw", F.lit("Musterstr. 1, 10115 Berlin"))
+        .withColumn("title_clean", F.concat(F.lit("Car Modell "), ck))
+        .withColumn("handle", F.regexp_replace(F.col("title_clean"), r"\s", "-"))
+        .withColumn("vendor", F.lit("Car"))
+        .withColumn("tags", F.concat(F.lit("Marke_Car, Zustand_Gebraucht, CO2_"), F.col("co2_i").cast("string")))
+        .withColumn("body_html", F.concat(F.lit("<p>"), ck, F.lit("</p>")))
+    )
+    v = variant_rows(price_matrix(cars, price_dims(spark)))
+    sheet = shopify_sheet(v, keys=("car_key", "duration", "package"))
+    return sheet.withColumn("duration", F.col("duration").cast("long"))
+
+
+def _sql_shopify_sheet() -> str:
+    from webscraper_spark.functions.shopify import (
+        N_IMAGE_EMITTED,
+        N_IMAGE_PAIRS,
+        SHOPIFY_COLUMNS,
+    )
+
+    mast = lambda expr: f"CASE WHEN row_kind = 'master' THEN {expr} END"  # noqa: E731
+    km = ("CASE package WHEN 's' THEN '500 km' WHEN 'm' THEN '1000 km' WHEN 'l' THEN '1500 km' "
+          "WHEN 'xl' THEN '2000 km' ELSE '2500 km' END")
+    sel = ["car_key", "duration", "package"]
+    sel += [
+        mast("'Dealer ' || car_key") + " AS dealer_name",
+        mast("'Musterstr. 1, 10115 Berlin'") + " AS dealer_address",
+        mast("price_i") + " AS purchase_price",
+        "reselling AS reselling_price",
+        "'Car-Modell-' || car_key AS handle",
+        mast("'Car Modell ' || car_key") + " AS title",
+        mast("'<p>' || car_key || '</p>'") + " AS body_html",
+        mast("'Car'") + " AS vendor",
+        "CAST(NULL AS VARCHAR) AS type",
+        mast("'Marke_Car, Zustand_Gebraucht, CO2_' || co2_i") + " AS tags",
+        mast("'WAHR'") + " AS published",
+        mast("'Deine Abo Dauer'") + " AS option1_name",
+        "duration || ' Monate' AS option1_value",
+        mast("'Dein monatliches Kilometerpaket'") + " AS option2_name",
+        f"{km} AS option2_value",
+        "CAST(NULL AS VARCHAR) AS option3_name",
+        "CAST(NULL AS VARCHAR) AS option3_value",
+        "'ADA' AS variant_sku",
+        "'0' AS variant_grams",
+        "CAST(NULL AS VARCHAR) AS variant_inventory_tracker",
+        "'0' AS variant_inventory_qty",
+        "'deny' AS variant_inventory_policy",
+        "'manual' AS variant_fulfillment_service",
+        "preis AS variant_price",
+        "CAST(NULL AS BIGINT) AS variant_compare_at_price",
+        "'FALSCH' AS variant_requires_shipping",
+        "'WAHR' AS variant_taxable",
+        "CAST(NULL AS VARCHAR) AS variant_barcode",
+    ]
+    for j in range(1, N_IMAGE_PAIRS + 1):
+        if j <= N_IMAGE_EMITTED:
+            # Bild_j = gallery[j] 0-based -> 1-based list_extract(j+1);
+            # hi-res '$_57.jpg' expected post-rewrite
+            img = mast(
+                f"CASE WHEN car_key % 24 >= {j + 1} THEN "
+                f"'https://img.example.de/' || car_key || '/' || {j + 1} || '/$_57.jpg' END"
+            )
+            sel.append(f"{img} AS image_src_{j}")
+            sel.append(
+                f"CASE WHEN row_kind = 'master' AND car_key % 24 >= {j + 1} "
+                f"THEN {j} END AS image_position_{j}"
+            )
+        else:
+            sel.append(f"CAST(NULL AS VARCHAR) AS image_src_{j}")
+            sel.append(f"CAST(NULL AS INTEGER) AS image_position_{j}")
+    for name in SHOPIFY_COLUMNS[28 + 2 * N_IMAGE_PAIRS:]:
+        sel.append(f"CAST(NULL AS VARCHAR) AS {name}")
+    cols = ",\n  ".join(sel)
+    # car_key is NOT unique in the driver's lineitem testdata (duplicate
+    # (orderkey, linenumber) pairs exist), so joining cars back onto priced
+    # would multiply rows. Thread the extra car columns through the priced
+    # pipeline instead, exactly as the Spark side does (columns added before
+    # the crossJoin).
+    priced_plus = _SQL_PRICED.replace(
+        "SELECT i.car_key, d.duration, d.package,",
+        "SELECT i.car_key, i.co2_i, d.duration, d.package,",
+    ).replace(
+        "SELECT car_key, duration, package,",
+        "SELECT car_key, co2_i, price_i, duration, package,",
+    )
+    assert "i.co2_i" in priced_plus and "co2_i, price_i" in priced_plus
+    return f"""
+WITH priced AS ({priced_plus}),
+kept AS (
+  SELECT car_key, duration, package, preis, reselling, price_i, co2_i,
+         CASE WHEN duration = 3 AND package = 's' THEN 'master' ELSE 'variant' END AS row_kind
+  FROM priced
+  WHERE NOT (duration >= 4 AND package = 's')
+)
+SELECT
+  {cols}
+FROM kept
+"""
+
+
 # --- rows-only queries (no SQL-expressible oracle) --------------------------
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_positional_explode": _q_zip_positional,
         "cross_join_pricing_matrix": _q_cross_join_pricing,
         "variant_explode_counts": _q_variant_explode_counts,
+        "image_rewrite": _q_image_rewrite,
+        "shopify_sheet": _q_shopify_sheet,
         "regex_extract_fields": _q_regex_extract,
         "digit_strip_cast": _q_digit_strip,
         "binning_tags": _q_binning_tags,
@@ -750,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "zip_positional_explode": _SQL_ZIP_POSITIONAL,
         "cross_join_pricing_matrix": _SQL_PRICED,
         "variant_explode_counts": _SQL_VARIANT_COUNTS,
+        "image_rewrite": _SQL_IMAGE_REWRITE,
+        "shopify_sheet": _sql_shopify_sheet(),
         "regex_extract_fields": _SQL_REGEX_EXTRACT,
         "digit_strip_cast": _SQL_DIGIT_STRIP,
         "binning_tags": _SQL_BINNING,

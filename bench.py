@@ -110,6 +110,47 @@ def _scale_run(cores: int, sf: float, max_waves: int) -> None:
     spark.stop()
 
 
+def _hw_burn(dur: float, arr, i: int) -> None:
+    """One CPU burner: count fixed pure-Python work units for `dur` sec."""
+    t_end = time.time() + dur
+    c = 0
+    while time.time() < t_end:
+        x = 0
+        for j in range(200_000):
+            x += j * j
+        c += 1
+    arr[i] = c
+
+
+def _hw_probe(n_procs: int, dur: float = 8.0) -> float:
+    """Total pure-Python CPU throughput (work units/sec) with n_procs
+    burner processes — the silicon ceiling for n_procs-way parallelism,
+    independent of Spark/JVM. On a dedicated box this scales ~linearly to
+    the physical core count; on this shared sandbox it measures what the
+    hypervisor actually grants right now."""
+    import multiprocessing as mp
+
+    arr = mp.Array("i", n_procs)
+    procs = [mp.Process(target=_hw_burn, args=(dur, arr, i)) for i in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return round(sum(arr) / dur, 1)
+
+
+def _ensure_corpus(sf: float) -> None:
+    """Materialize the scaling corpus once (cached) in a throwaway session."""
+    cache = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
+    if os.path.exists(os.path.join(cache, "_COMPLETE")):
+        return
+    from webscraper_spark.sources.synth import materialize_corpus
+
+    spark = _fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    materialize_corpus(spark, sf, cache)
+    spark.stop()
+
+
 def _measure_in_subprocess(cores: int, sf: float, max_waves: int) -> dict:
     import subprocess
 
@@ -158,21 +199,38 @@ def main() -> None:
     # --- scaling evidence: same job, N=8 vs 4N=32 cores --------------------
     scaling = {}
     if os.environ.get("BENCH_SKIP_SCALING", "0") != "1":
-        # N=2 vs 4N=8 cores (allowed by the sandbox protocol: "N and 4N
-        # cores") — this box only scales linearly to ~8-16 concurrent
-        # workers (memory bandwidth / all-core turbo), so 8-vs-32 would
-        # measure the hardware, not the engine. Each measurement runs in a
-        # FRESH subprocess/JVM: in-process session reuse pollutes the JIT
-        # code cache and makes later runs arbitrarily slower.
+        # Mandated pair (BASELINE.md): local[8] vs local[32]. Each
+        # measurement runs in a FRESH subprocess/JVM (in-process session
+        # reuse pollutes the JIT code cache), configs are interleaved so
+        # noise episodes on this shared host hit both equally, and the
+        # minimum over reps is the estimator (host CPU capacity fluctuates
+        # minute-to-minute with neighbor load; see hardware probe).
+        #
+        # The scaling corpus is LARGER than the headline sf (default 2.5):
+        # the crawl has a per-wave serial floor (~15 driver-side job
+        # launches) that at tiny sf dominates wall time and Amdahl-caps any
+        # measured speedup; at sf2.5 the parallel fetch+extract work is the
+        # bulk of the job, which is also the regime the 100TB target lives
+        # in.
         spark.stop()
-        n_lo, n_hi = 2, 8
+        n_lo, n_hi = 8, 32
+        scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "2.5"))
         reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+
+        # Hardware-capacity probe: pure-Python CPU burners, zero Spark/JVM.
+        # This box advertises 32 vCPUs but delivers ~20-22 cores of real
+        # capacity (shared host), so even a perfectly-scaling engine cannot
+        # show 4.0x from 8->32. The probe measures, per round, what the
+        # silicon actually grants — the engine's efficiency is reported raw
+        # AND normalized by this ceiling.
+        hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
+        hw_eff = (hw[n_hi] / hw[n_lo]) / (n_hi / n_lo)
+
+        _ensure_corpus(scaling_sf)
         runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        # interleave configs so environmental noise episodes (shared sandbox)
-        # hit both equally; take the minimum (standard noise-robust estimator)
         for _ in range(reps):
             for cores in (n_lo, n_hi):
-                runs[cores].append(_measure_in_subprocess(cores, sf, max_waves))
+                runs[cores].append(_measure_in_subprocess(cores, scaling_sf, max_waves))
         results = {}
         for cores in (n_lo, n_hi):
             best = min(runs[cores], key=lambda r: r["sec"])
@@ -183,9 +241,13 @@ def main() -> None:
         scaling = {
             f"local{n_lo}": results[n_lo],
             f"local{n_hi}": results[n_hi],
+            "sf": scaling_sf,
             "efficiency": round(eff, 3),
+            "hw_probe_units_per_sec": {str(n_lo): hw[n_lo], str(n_hi): hw[n_hi]},
+            "hw_efficiency": round(hw_eff, 3),
+            "efficiency_normalized": round(eff / hw_eff, 3) if hw_eff > 0 else None,
         }
-        _write_last_run_md(sf, max_waves, {8: results[n_lo], 32: results[n_hi]}, eff, n_lo, n_hi)
+        _write_last_run_md(scaling_sf, max_waves, results, scaling, n_lo, n_hi)
 
     out = {
         "metric": "crawl_wave_e2e_seconds",
@@ -202,9 +264,10 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _write_last_run_md(sf: float, max_waves: int, results: dict, eff: float, n_lo: int = 8, n_hi: int = 32) -> None:
+def _write_last_run_md(sf: float, max_waves: int, results: dict, scaling: dict, n_lo: int, n_hi: int) -> None:
     """Per-round snapshot — the curated scaling study lives in BENCH/BASELINE.md."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    hw = scaling["hw_probe_units_per_sec"]
     with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
         f.write(
             f"""# BENCH — last bench.py scaling snapshot (see BASELINE.md for the curated study)
@@ -214,21 +277,31 @@ fetch-join -> extract -> outlink expansion -> checkpoint), {max_waves} waves,
 synthetic corpus sf={sf} (seed-fixed), budget-unbound politeness (bench
 config — delays still scheduled, batch size uncapped so the job is
 compute-bound). Same job, same input, two parallelism levels, per
-BASELINE.md sandbox protocol (no real cluster in sandbox).
+BASELINE.md sandbox protocol (no real cluster in sandbox). Minimum over
+{len(results[n_lo]['all_secs'])} interleaved reps per config (shared-host
+noise; all reps listed).
 
-| config | elapsed (s) | URLs fetched | URLs/s |
-|---|---|---|---|
-| local[{n_lo}]  (N)  | {results[8]['sec']} | {results[8]['urls']} | {results[8]['urls_per_sec']} |
-| local[{n_hi}] (4N) | {results[32]['sec']} | {results[32]['urls']} | {results[32]['urls_per_sec']} |
+| config | elapsed (s) | all reps (s) | URLs fetched | URLs/s |
+|---|---|---|---|---|
+| local[{n_lo}]  (N)  | {results[n_lo]['sec']} | {results[n_lo]['all_secs']} | {results[n_lo]['urls']} | {results[n_lo]['urls_per_sec']} |
+| local[{n_hi}] (4N) | {results[n_hi]['sec']} | {results[n_hi]['all_secs']} | {results[n_hi]['urls']} | {results[n_hi]['urls_per_sec']} |
 
-**Scaling efficiency (rate_32 / rate_8) / 4 = {eff:.3f}** (target >= 0.8,
-BASELINE.json north_rule).
+**Raw scaling efficiency (rate_{n_hi} / rate_{n_lo}) / {n_hi // n_lo} = {scaling['efficiency']:.3f}**
+(north-rule target >= 0.8).
+
+Hardware ceiling (pure-Python CPU burners, no Spark/JVM, measured in the
+same bench run): {n_lo} procs = {hw[str(n_lo)]} units/s, {n_hi} procs = {hw[str(n_hi)]} units/s
+-> the silicon itself scales {n_lo}->{n_hi} at only
+**{scaling['hw_efficiency']:.3f} efficiency** (this sandbox advertises 32 vCPUs but
+the shared host grants ~20 cores of real capacity; a perfectly-scaling
+engine cannot exceed this).
+
+**Hardware-normalized efficiency = raw / ceiling = {scaling['efficiency_normalized']}**.
 
 Reference comparison: the Ruby scraper's hard ceiling is <= 1 URL/s
 (sequential Selenium with mandatory sleeps —
 /root/reference/app/controllers/car_dealers_controller.rb:156); this engine
-fetches+extracts {results[32]['urls_per_sec']} URLs/s at {n_hi} local cores
-(and more at 32 — see bench JSON headline).
+fetches+extracts {results[n_hi]['urls_per_sec']} URLs/s at local[{n_hi}].
 """
         )
 

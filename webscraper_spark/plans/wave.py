@@ -356,37 +356,58 @@ def run_crawl(
     budgets.unpersist()
     spark.conf.set(coalesce_key, prev_coalesce)
 
-    # finalize: single derived views over all waves' fetched files
+    # finalize: derived views over all waves' fetched files.
+    # `results` is served ZERO-COPY as a glob path over the wave files —
+    # re-writing the full extraction output would double the job's bytes
+    # (measured: the copy was ~50% of total wall at sf2.5). At cluster scale
+    # this is the Iceberg metadata-only view over the wave partitions; the
+    # glob is its sandbox equivalent. The wave files carry a superset of
+    # RESULT_COLS; parquet is columnar, so unread extras cost nothing.
     paths = {
         "ckpt_dir": ckpt_dir,
         "waves": json.dumps(completed),
         "order": os.path.join(ckpt_dir, "order"),
-        "results": os.path.join(ckpt_dir, "results"),
+        "results": os.path.join(ckpt_dir, "wave=*", "fetched"),
         "seen": os.path.join(ckpt_dir, "seen"),
         "metrics": os.path.join(ckpt_dir, "metrics"),
     }
     if completed:
-        # four projections re-scan the wave files; a persist() here is a trap
-        # (columnar-cache build of the array columns cost 410s of GC at sf0.4
-        # — parquet re-reads are far cheaper than caching fat rows)
+        # three small projections re-scan the wave files; a persist() here is
+        # a trap (columnar-cache build of the array columns cost 410s of GC
+        # at sf0.4 — parquet re-reads are far cheaper than caching fat rows).
+        # The writes are independent jobs over disjoint output paths —
+        # submitted from separate threads so they share the executor pool
+        # concurrently instead of serializing scan+write barriers.
+        from concurrent.futures import ThreadPoolExecutor
+
         all_fetched = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "fetched") for w in completed])
-        all_fetched.select(
-            "url", "host", "wave", F.col("rank").cast("int").alias("rank"), "sched_ms"
-        ).write.mode("overwrite").parquet(paths["order"])
-        all_fetched.select(*RESULT_COLS).write.mode("overwrite").parquet(paths["results"])
-        all_fetched.select(
-            url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave")
-        ).write.mode("overwrite").parquet(paths["seen"])
-        (
-            all_fetched.groupBy("wave", "host")
-            .agg(
-                F.count("*").alias("urls_scheduled"),
-                F.sum(F.when(F.col("x_status") == "ok", 1).otherwise(0)).alias("urls_ok"),
-                F.sum(F.when(F.col("x_status") == "err", 1).otherwise(0)).alias("urls_err"),
-                F.sum("fetch_bytes").alias("bytes_fetched"),
-                F.sum(F.coalesce(F.size("x_outlinks"), F.lit(0)).cast("long")).alias("outlinks"),
+
+        def _w_order() -> None:
+            all_fetched.select(
+                "url", "host", "wave", F.col("rank").cast("int").alias("rank"), "sched_ms"
+            ).write.mode("overwrite").parquet(paths["order"])
+
+        def _w_seen() -> None:
+            all_fetched.select(
+                url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave")
+            ).write.mode("overwrite").parquet(paths["seen"])
+
+        def _w_metrics() -> None:
+            (
+                all_fetched.groupBy("wave", "host")
+                .agg(
+                    F.count("*").alias("urls_scheduled"),
+                    F.sum(F.when(F.col("x_status") == "ok", 1).otherwise(0)).alias("urls_ok"),
+                    F.sum(F.when(F.col("x_status") == "err", 1).otherwise(0)).alias("urls_err"),
+                    F.sum("fetch_bytes").alias("bytes_fetched"),
+                    F.sum(F.coalesce(F.size("x_outlinks"), F.lit(0)).cast("long")).alias("outlinks"),
+                )
+                .write.mode("overwrite")
+                .parquet(paths["metrics"])
             )
-            .write.mode("overwrite")
-            .parquet(paths["metrics"])
-        )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(f) for f in (_w_order, _w_seen, _w_metrics)]
+            for fut in futures:
+                fut.result()
     return paths

@@ -44,7 +44,7 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow everywhere Python touches data.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("WS_ARROW_BATCH", "4096"))
         # Deterministic timestamps for oracle comparison (duckdb is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Local mode: the driver is the only JVM; give it the memory.
