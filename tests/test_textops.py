@@ -176,3 +176,34 @@ def test_multimodal_null_payload_and_stub(spark):
     assert sum(r.status == "null_payload" for r in rows) == 1
     with pytest.raises(Exception, match="NotImplementedError|real image/audio decode"):
         decode_features(media, require_real_decoder=True).collect()
+
+
+def test_lsh_ann_dim768(spark):
+    """High-dim plan viability: 16x768 hyperplanes must NOT live in the plan
+    (the expression encoding exploded here); numpy-matmul bucketer handles
+    dim 768 with sane recall on clustered vectors."""
+    import math
+
+    n, dim, n_clusters = 120, 768, 6
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        base = [math.sin(0.1 * c * (j + 1)) for j in range(dim)]
+        noise = [((i * 2654435761 + j * 40503) % 1000) / 5000.0 - 0.1 for j in range(dim)]
+        rows.append((i, [float(b + 0.05 * w) for b, w in zip(base, noise)]))
+    emb768 = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = emb768.limit(4).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(emb768, queries, k=10).collect()
+    ann = lsh_ann_topk(emb768, queries, dim=dim, k=10).collect()
+    recalls = []
+    for qid in {r.q_id for r in brute}:
+        b = {r.vec_id for r in brute if r.q_id == qid}
+        a = {r.vec_id for r in ann if r.q_id == qid}
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # null and wrong-dim vectors bucket to NULL (dropped), not an error
+    from webscraper_spark.operators.simsearch import sign_lsh_bucket_udf
+
+    weird = spark.createDataFrame([(1, None), (2, [1.0] * 3)], "vec_id int, embedding array<float>")
+    got = weird.select(sign_lsh_bucket_udf(dim)(F.col("embedding")).alias("b")).collect()
+    assert all(r.b is None for r in got)

@@ -61,15 +61,18 @@ def minhash_signature(hashes: Column, num_perm: int = 16) -> Column:
     return F.array(*sigs)
 
 
-def lsh_bands(sig: Column, bands: int = 4) -> Column:
-    """Split the signature into `bands` equal slices; hash each slice.
-    Returns array<struct<band:int, bucket:long>>."""
+def lsh_bands(sig: Column, bands: int = 4, num_perm: int = 16) -> Column:
+    """Split the num_perm-long signature into `bands` equal slices; hash each
+    slice. Returns array<struct<band:int, bucket:long>>."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    r = num_perm // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.cast("int").alias("band"),
             F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice(sig, b * (16 // bands) + 1, 16 // bands), lambda x: x.cast("string")
+                F.slice(sig, b * r + 1, r), lambda x: x.cast("string")
             ))).alias("bucket"),
         ),
     )
@@ -102,30 +105,48 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash-LSH with exact-Jaccard verification.
 
     1. signature per doc (num_perm minhashes over word n-gram shingles)
-    2. explode band buckets; self-join within (band, bucket) — the LSH shard
+    2. explode band buckets; self-join within (band, bucket) — the LSH shard.
+       The band join carries IDs ONLY: shipping each doc's full shingle set
+       x bands through the self-join shuffle was the measured hot spot
+       (shingles are ~100x the id bytes); dedup the pair list, THEN fetch
+       shingles once per side for the verify join.
     3. verify candidates with exact Jaccard over shingle sets; keep >= threshold
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.transform(F.col("sh"), lambda s: F.xxhash64(s)), num_perm))
-    banded = base.select("id", "sh", F.explode(lsh_bands(F.col("sig"), bands)).alias("bb")).select(
-        "id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # One shingle pass, shared by the band stage and both verify join sides
+    # (shingling is the compute-dense step; three lineage re-runs tripled
+    # it). Repartition the RAW TEXT first — the doc table often arrives in
+    # 1-2 file splits, which would serialize shingling — then persist the
+    # shingle table (memory+disk; freed by Spark's LRU / context cleaner
+    # with the returned plan).
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh_tbl = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(par)
+        .select("id", shingles(F.col("t"), n).alias("sh"))
+        .persist()
+    )
+    banded = (
+        sh_tbl.withColumn("sig", minhash_signature(F.transform(F.col("sh"), lambda s: F.xxhash64(s)), num_perm))
+        .select("id", F.explode(lsh_bands(F.col("sig"), bands, num_perm)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        pairs.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

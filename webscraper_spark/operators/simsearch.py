@@ -12,8 +12,11 @@ no numpy RNG state at plan-build time, so plans are reproducible.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -58,21 +61,39 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def sign_lsh_buckets(vec: Column, dim: int, n_planes: int = 16, bands: int = 4) -> Column:
-    """array<struct<band,bucket>>: sign bits of `n_planes` hyperplane dots,
-    grouped into `bands` keys."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(v) for v in _hyperplane(dim, p)])) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
-    per_band = n_planes // bands
-    out = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(per_band):
-            key = key * 2 + bits[b * per_band + j]
-        out.append(F.struct(F.lit(b).alias("band"), key.cast("long").alias("bucket")))
-    return F.array(*out)
+def sign_lsh_bucket_udf(dim: int, n_planes: int = 16, bands: int = 4):
+    """Vectorized bucketer: vec -> array<long> of `bands` band keys (index =
+    band id). One numpy matmul per Arrow batch; the (n_planes x dim) plane
+    matrix rides in the UDF closure (~100KB at dim 768), NOT in the plan —
+    the previous expression-tree encoding baked n_planes*dim literals into
+    every plan and exploded at dim>=768.
+
+    Band key = big-endian sign bits of the band's planes — the same encoding
+    as the retired expression version (assignments can differ only where a
+    dot product sits within float-summation-order distance of 0)."""
+    if n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    per = n_planes // bands
+    planes_t = np.asarray(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    ).T  # (dim, n_planes)
+    weights = (1 << np.arange(per - 1, -1, -1)).astype(np.int64)  # big-endian
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        mat = np.zeros((n, planes_t.shape[0]), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == planes_t.shape[0]:
+                mat[i] = v
+                ok[i] = True
+        bits = (mat @ planes_t >= 0).astype(np.int64)  # (n, n_planes)
+        keys = bits.reshape(n, bands, per) @ weights  # (n, bands)
+        out = [list(k) if o else None for k, o in zip(keys, ok)]
+        return pd.Series(out)
+
+    return buckets
 
 
 def lsh_ann_topk(
@@ -83,12 +104,13 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing any LSH band
     bucket with the query, then exact cosine + window top-k on candidates."""
-    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).withColumn(
-        "bb", F.explode(sign_lsh_buckets(F.col("vec"), dim, n_planes, bands))
-    ).select("vec_id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")).withColumn(
-        "bb", F.explode(sign_lsh_buckets(F.col("q_vec"), dim, n_planes, bands))
-    ).select("q_id", "q_vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = sign_lsh_bucket_udf(dim, n_planes, bands)
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).select(
+        "vec_id", "vec", F.posexplode(buckets(F.col("vec"))).alias("band", "bucket")
+    )
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")).select(
+        "q_id", "q_vec", F.posexplode(buckets(F.col("q_vec"))).alias("band", "bucket")
+    )
     cand = base.join(F.broadcast(q), ["band", "bucket"]).dropDuplicates(["q_id", "vec_id"])
     scored = cand.withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
