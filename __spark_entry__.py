@@ -598,18 +598,31 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+# Tokens guarded exactly like Spark's dedup.tokens (trim()='' -> [] — DuckDB
+# string_split_regex('') would yield [''] and shift n_tok); mean word length
+# totals the SPLIT tokens' lengths (Spark tokenizes on \s+, so stripping only
+# ASCII spaces from the raw text would miscount around tabs/newlines).
 _SQL_QUALITY = f"""
 SELECT doc_id, round(
-    0.4::DOUBLE * least(CAST(len(string_split_regex(trim(text),'\\s+')) AS DOUBLE) / 64.0::DOUBLE, 1.0::DOUBLE)
-  + 0.3::DOUBLE * least({_sql_stop_ratio('en')} * 5.0::DOUBLE, 1.0::DOUBLE)
-  + 0.15::DOUBLE * (CASE WHEN
-        (CAST(len(replace(trim(text),' ','')) AS DOUBLE)
-         / len(string_split_regex(trim(text),'\\s+'))) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+    0.4::DOUBLE * least(CAST(len(toks) AS DOUBLE) / 64.0::DOUBLE, 1.0::DOUBLE)
+  + 0.3::DOUBLE * least(
+      (CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+            ELSE CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                                      x -> x IN ({", ".join(f"'{w}'" for w in _STOP['en'])}))) AS DOUBLE)
+                 / len(toks) END) * 5.0::DOUBLE, 1.0::DOUBLE)
+  + 0.15::DOUBLE * (CASE WHEN len(toks) > 0 AND
+        (CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS DOUBLE)
+         / len(toks)) BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
         THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-  + 0.15::DOUBLE * greatest(0.0::DOUBLE, 1.0::DOUBLE - (
-        CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / len(text)) * 4.0::DOUBLE)
+  + 0.15::DOUBLE * greatest(0.0::DOUBLE, 1.0::DOUBLE - (CASE WHEN len(text) = 0 THEN 0.0::DOUBLE ELSE
+        CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END) * 4.0::DOUBLE)
 , 6) AS quality
-FROM documents
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+)
 """
 
 
@@ -794,7 +807,14 @@ FROM kept
 """
 
 
-# --- rows-only queries (no SQL-expressible oracle) --------------------------
+# --- hash-pipeline queries: oracled via DuckDB reimplementation -------------
+#
+# The dedup/fingerprint family hashes with h60 (15-hex-char md5 prefix,
+# operators/dedup.py) precisely so DuckDB can recompute every stage
+# independently: shingling, minhash permutations, LSH banding, SimHash
+# majority votes (FNV-1a over ASCII chars, HUGEINT mod-2^64), and the
+# sign-LSH hyperplane chain (LCG states via recursive CTE). These oracles
+# are full reimplementations, not snapshots.
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_with_planted_dups(spark, sf_dir), threshold=0.5).select(
@@ -803,7 +823,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_docs_with_planted_dups(spark, sf_dir), max_hamming=8)
+    return simhash_pairs(_docs_with_planted_dups(spark, sf_dir), max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,9 +834,210 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").alias("nn_rank"))
+    return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank"))
+
+
+def _sql_h60(expr: str) -> str:
+    """DuckDB rendition of dedup.h60: first 15 md5 hex chars as BIGINT."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}),1,15),''), "
+        "c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1), (a,b) -> a*16+b)"
+    )
+
+
+# Shared doc CTEs: guarded tokens + distinct 3-gram shingles, mirroring
+# dedup.tokens / dedup.shingles (empty text -> [] tokens -> [''] shingle).
+_SQL_DOC_SHINGLES = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM all_docs
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+  FROM toked
+)
+"""
+
+
+def _sql_minhash_lsh() -> str:
+    from webscraper_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MERSENNE31
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> ((h % {MERSENNE31}) * {_MINHASH_A[j]} + {_MINHASH_B[j]}) % {MERSENNE31}))"
+        for j in range(16)
+    )
+    bucket = _sql_h60(
+        "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_sql_h60('s')}) AS hs FROM shingled
+),
+sigs AS (
+  SELECT doc_id, sh, [{sig_terms}] AS sig FROM hashed
+),
+banded AS (
+  SELECT doc_id, b, {bucket} AS bucket
+  FROM sigs CROSS JOIN UNNEST([0,1,2,3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5::DOUBLE
+"""
+
+
+# FNV-1a 64-bit over ASCII chars, HUGEINT mod-2^64 arithmetic (the xor only
+# touches the low byte, so it stays in BIGINT range).
+_SQL_FNV = (
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(string_split({tok}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(h, ch) -> ((h - (h % 256) + xor((h % 256)::BIGINT, ch)::HUGEINT) "
+    "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+)
+
+
+def _sql_simhash() -> str:
+    fnv = _SQL_FNV.format(tok="tok")
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM all_docs
+),
+tok_hash AS (
+  SELECT doc_id, {fnv} AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok_hash CROSS JOIN UNNEST(generate_series(0, 63)) AS t(b)
+  GROUP BY doc_id, b
+),
+sh_u AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS shu
+  FROM votes GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         CAST(coalesce(CASE WHEN s.shu >= 9223372036854775808::HUGEINT
+                            THEN s.shu - 18446744073709551616::HUGEINT
+                            ELSE s.shu END, 0) AS BIGINT) AS simhash
+  FROM all_docs d LEFT JOIN sh_u s ON d.doc_id = s.doc_id
+),
+seg AS (
+  SELECT doc_id, simhash, s AS seg, (simhash >> (16 * s)) & 65535 AS key
+  FROM sh CROSS JOIN UNNEST([0,1,2,3]) AS t(s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM seg a JOIN seg b
+    ON a.seg = b.seg AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+"""
+
+
+def _sql_fingerprint() -> str:
+    docs_shingles = _SQL_DOC_SHINGLES.replace(
+        """all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),""",
+        "all_docs AS (SELECT doc_id, text FROM documents),",
+    )
+    fp = _sql_h60(
+        "array_to_string(list_transform(list_sort(list_transform(sh, s -> "
+        + _sql_h60("s")
+        + "))[1:8], x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH {docs_shingles}
+SELECT doc_id, {fp} AS fp64 FROM shingled
+"""
+
+
+def _sql_ann_lsh() -> str:
+    """Sign-LSH ANN oracle: replays simsearch._hyperplane's LCG chain with
+    HUGEINT mod-2^64 arithmetic in a recursive CTE, buckets corpus + query
+    vectors by sign bits (bands=8, 2 planes/band, big-endian), then exact
+    rounded-cosine top-5 over candidates."""
+    return """
+WITH RECURSIVE lcg(p, i, st) AS (
+  SELECT p, 0, (CAST(p + 1 AS HUGEINT) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT
+  FROM UNNEST(generate_series(0, 15)) AS t(p)
+  UNION ALL
+  SELECT p, i + 1,
+         (st * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+         % 18446744073709551616::HUGEINT
+  FROM lcg WHERE i < 64
+),
+planes AS (
+  SELECT p, list(CAST(st // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY i) AS vec
+  FROM lcg WHERE i >= 1 GROUP BY p
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bits AS (
+  SELECT e.vec_id, p.p, CASE WHEN list_dot_product(e.emb, p.vec) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, p // 2 AS band,
+         sum(CASE WHEN p % 2 = 0 THEN bit * 2 ELSE bit END) AS bucket
+  FROM bits GROUP BY vec_id, p // 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM buckets c JOIN buckets q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         round(list_cosine_similarity(ce.emb, qe.emb), 6) AS cos
+  FROM cand
+  JOIN e ce ON ce.vec_id = cand.vec_id
+  JOIN e qe ON qe.vec_id = cand.q_id
+)
+SELECT q_id, vec_id, nn_rank FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS nn_rank
+  FROM scored
+) WHERE nn_rank <= 5
+"""
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,4 +1133,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY,
         "langid_stopwords": _SQL_LANGID,
         "embedding_cosine_topk": _SQL_EMBEDDING_TOPK,
+        "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "simhash_pairs": _sql_simhash(),
+        "doc_fingerprint": _sql_fingerprint(),
+        "embedding_lsh_ann": _sql_ann_lsh(),
     }

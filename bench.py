@@ -47,7 +47,9 @@ def _fresh_spark(cores: int):
         SparkSession.builder._options = {}  # type: ignore[attr-defined]
     from webscraper_spark.session import get_spark
 
-    return get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    # task_cpus=2: a crawl UDF task occupies a JVM thread AND a Python
+    # worker; declaring both is the engine's shipped posture (session.py).
+    return get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8), task_cpus=2)
 
 
 def _bench_politeness(spark):

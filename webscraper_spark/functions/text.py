@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from webscraper_spark.operators.dedup import shingle_hashes, tokens
+from webscraper_spark.operators.dedup import h60, shingle_hashes, tokens
 
 # Tiny deterministic stopword profiles (public common-word lists).
 STOPWORDS = {
@@ -95,4 +95,4 @@ def doc_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
 
 def fingerprint64(text: Column, n: int = 3, k: int = 8) -> Column:
     """Single 64-bit rollup of the fingerprint (joinable key)."""
-    return F.xxhash64(F.concat_ws(",", F.transform(doc_fingerprint(text, n, k), lambda h: h.cast("string"))))
+    return h60(F.concat_ws(",", F.transform(doc_fingerprint(text, n, k), lambda h: h.cast("string"))))

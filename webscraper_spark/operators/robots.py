@@ -41,6 +41,12 @@ def resolve_budgets(hosts: DataFrame, robots: DataFrame, politeness: DataFrame) 
     delay = max(politeness min_delay [host override else '*' default],
                 robots crawl_delay); budget = host override else default.
     Output: (host, max_pages, delay_ms) — tiny table, broadcast later.
+
+    The politeness '*' defaults are ALSO emitted as a literal host='*' row,
+    so downstream consumers (schedule_ranked) can apply the same defaults to
+    hosts discovered after this table was built — mid-crawl outlinks can
+    surface hosts absent from `hosts`, and those must get the politeness
+    defaults, not hardcoded fallbacks.
     """
     default_row = politeness.filter(F.col("host") == "*").select(
         F.col("max_pages_per_wave").alias("d_max"), F.col("min_delay_ms").alias("d_delay")
@@ -64,4 +70,9 @@ def resolve_budgets(hosts: DataFrame, robots: DataFrame, politeness: DataFrame) 
             ).alias("delay_ms"),
         )
     )
-    return out
+    star = default_row.select(
+        F.lit("*").alias("host"),
+        F.col("d_max").alias("max_pages"),
+        F.greatest(F.col("d_delay"), F.lit(0)).alias("delay_ms"),
+    )
+    return out.filter(F.col("host") != "*").unionByName(star)

