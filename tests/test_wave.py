@@ -138,3 +138,37 @@ def test_bloom_path_identical(spark, inputs, oracle_result, tmp_path_factory):
                       CrawlConfig(max_waves=MAX_WAVES, use_bloom=True, n_buckets=16))
     got = {(r.url, r.host, r.wave, r.rank) for r in spark.read.parquet(paths["order"]).collect()}
     assert got == set(oracle_result[0])
+
+
+def test_unknown_host_gets_politeness_defaults(spark):
+    """Hosts discovered mid-crawl (absent from the budgets table) inherit the
+    politeness '*' row, not hardcoded literals (resolve_budgets emits the
+    star row; schedule_ranked coalesces through it)."""
+    from webscraper_spark.operators.robots import resolve_budgets
+    from webscraper_spark.operators.schedule import schedule_ranked
+
+    robots = spark.createDataFrame(
+        [("known.example", [], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    politeness = spark.createDataFrame(
+        [("*", 7, 350), ("known.example", 2, 100)],
+        "host string, max_pages_per_wave long, min_delay_ms long",
+    )
+    budgets = resolve_budgets(robots.select("host"), robots, politeness)
+    star = {r.host: (r.max_pages, r.delay_ms) for r in budgets.collect()}
+    assert star["*"] == (7, 350)
+    cand = spark.createDataFrame(
+        [(f"https://surprise.example/p{i}", "surprise.example", 1, 1, i) for i in range(10)]
+        + [(f"https://known.example/p{i}", "known.example", 1, 1, i) for i in range(4)],
+        "url string, host string, depth int, disc_wave int, disc_pos long",
+    )
+    sched = schedule_ranked(cand, budgets, wave=0).collect()
+    surprise = [r for r in sched if r.host == "surprise.example"]
+    known = [r for r in sched if r.host == "known.example"]
+    # unknown host: '*' defaults (7 pages, 350ms), NOT the (40, 1000) literals
+    assert sum(r.in_budget for r in surprise) == 7
+    assert all(r.delay_ms == 350 for r in surprise)
+    # known host keeps its override
+    assert sum(r.in_budget for r in known) == 2
+    assert all(r.delay_ms == 100 for r in known)

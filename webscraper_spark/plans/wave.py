@@ -246,14 +246,16 @@ def run_crawl(
 
     debug = os.environ.get("WS_DEBUG_TIMING", "0") == "1"
 
-    # AQE partition coalescing is actively harmful to wave plans: the
-    # outlink-expansion shuffles are byte-small but compute-dense (regex
-    # canonicalization), and coalescing collapses them to 1-2 partitions —
-    # measured as a bimodal 2x whole-run regression. Disable for the wave
-    # loop only; restore the session value afterwards.
+    # AQE partition coalescing inside the wave loop: round 1 disabled it
+    # because the outlink-expansion shuffles were byte-small but
+    # compute-dense (regex canonicalization ran post-shuffle) and collapsed
+    # to 1-2 partitions. Canonicalization has since moved INTO the
+    # extraction UDF (pre-shuffle), so the post-shuffle work is cheap and
+    # coalescing now just removes hundreds of tiny-task dispatches per wave
+    # (WS_WAVE_COALESCE=0 restores the round-1 behaviour for A/B).
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev_coalesce = spark.conf.get(coalesce_key, "true")
-    spark.conf.set(coalesce_key, "false")
+    spark.conf.set(coalesce_key, "false" if os.environ.get("WS_WAVE_COALESCE", "1") == "0" else "true")
 
     def _tick(label: str, t0: float) -> float:
         t1 = time.time()
