@@ -229,12 +229,17 @@ def simhash64(tokens_s: pd.Series) -> pd.Series:
     for j in range(max_len):
         hj = (h ^ mat[:, j].astype(np.uint64)) * prime  # uint64 wraps mod 2^64
         h = np.where(mask[:, j], hj, h)
-    votes_flat = (2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)) - 1
+    # Majority vote without the 8-byte ±1 expansion: unpack hash bytes to a
+    # (tokens, 64) uint8 bit matrix (bit b in column b, little-endian), sum
+    # set-bit COUNTS per doc, and take bit b iff 2*count_b > n_tokens —
+    # identical to sign(sum(±1)) but ~8x less allocation per Arrow batch.
+    bits = np.unpackbits(h.view(np.uint8).reshape(total, 8), axis=1, bitorder="little")
     nz = counts > 0
     doc_offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    votes = np.zeros((n_docs, 64), dtype=np.int64)
-    votes[nz] = np.add.reduceat(votes_flat, doc_offs[nz], axis=0)
-    packed = ((votes > 0).astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(axis=1)
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    ones[nz] = np.add.reduceat(bits, doc_offs[nz], axis=0, dtype=np.int64)
+    majority = (2 * ones) > counts[:, None]
+    packed = (majority.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(axis=1)
     return pd.Series(packed.astype(np.uint64).astype(np.int64))
 
 
