@@ -198,11 +198,17 @@ def main() -> None:
         "quality_score", "langid_stopwords", "embedding_cosine_topk",
         "embedding_lsh_ann", "simhash_pairs", "token_count",
     ]
+    # Min of two timed runs per query: single-shot numbers on this shared
+    # host swing 2-3x with neighbour load (see scaling notes), and the first
+    # run of a query also pays its codegen compile.
     qtimes: dict[str, float] = {}
     for name in bench_queries:
-        t0 = time.time()
-        _noop_write(qfns[name](spark, sf_dir))
-        qtimes[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(qfns[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        qtimes[name] = round(best, 3)
 
     # --- scaling evidence: same job, N=8 vs 4N=32 cores --------------------
     scaling = {}
