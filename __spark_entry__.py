@@ -1047,8 +1047,12 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end crawl on the synthetic corpus (rows-only check: order table).
-    Clamped to sf0.01-scale so the correctness gate stays fast."""
+    """End-to-end crawl on the synthetic corpus. Oracled: _sql_crawl_wave()
+    replays the ENTIRE 3-wave crawl (canonicalization, seen anti-join,
+    robots, per-host rank, budgets, politeness clock, href extraction,
+    outlink dedup, frontier merge) as one DuckDB query over the same cached
+    corpus parquet — the north-rule 'crawl ordering + URL-seen set'
+    invariant, machine-checked end to end."""
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
     from webscraper_spark.sources.synth import materialize_corpus
 
@@ -1060,7 +1064,152 @@ def _q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="qcrawl_")
     out = run_crawl(spark, load("pages"), load("seeds"), load("robots"), load("politeness"),
                     ckpt, CrawlConfig(max_waves=3))
-    return spark.read.parquet(out["order"]).select("url", "host", "wave", "rank", "sched_ms")
+    return spark.read.parquet(out["order"]).select(
+        "url", "host", F.col("wave").cast("long").alias("wave"),
+        F.col("rank").cast("long").alias("rank"), "sched_ms"
+    )
+
+
+_CANON_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+_WAVE_EPOCH_MS = 10_000_000
+_MAX_LINKS = 1024
+
+
+def _sql_canon_cte(name: str) -> str:
+    """CTE `name`: canonicalize column `raw` of `{name}_in` exactly like
+    functions/canon.py (lowercase scheme+host, strip default port/fragment,
+    sort query params, '' path -> '/'; non-URLs pass through trimmed) while
+    keeping the (p_rank, p_depth, link_pos) discovery metadata."""
+    re_ = _CANON_RE
+    return f"""
+{name} AS (
+  SELECT p_rank, p_depth, link_pos,
+         CASE WHEN sch = '' THEN t ELSE sch || '://' || hostp || pth || q END AS url,
+         CASE WHEN sch = '' THEN '' ELSE regexp_replace(auth, ':[0-9]+$', '') END AS host
+  FROM (
+    SELECT *,
+      CASE WHEN pth0 = '' THEN '/' ELSE pth0 END AS pth,
+      CASE WHEN (sch = 'https' AND ends_with(auth, ':443')) OR (sch = 'http' AND ends_with(auth, ':80'))
+           THEN regexp_replace(auth, ':[0-9]+$', '') ELSE auth END AS hostp,
+      CASE WHEN len(rawq) > 1
+           THEN '?' || array_to_string(list_sort(string_split(substr(rawq, 2), '&')), '&')
+           ELSE '' END AS q
+    FROM (
+      SELECT *, lower(regexp_extract(t, '{re_}', 1)) AS sch, lower(regexp_extract(t, '{re_}', 2)) AS auth,
+             regexp_extract(t, '{re_}', 3) AS pth0, regexp_extract(t, '{re_}', 4) AS rawq
+      FROM (SELECT *, trim(raw) AS t FROM {name}_in)
+    )
+  )
+)"""
+
+
+def _sql_crawl_wave_ctes(w: int) -> str:
+    """One wave of the crawl replay: anti-join seen, robots prefix filter,
+    per-host FIFO rank, budget gate + politeness clock, fetch join, href
+    extraction, outlink canonicalization + dedup, frontier merge."""
+    nw, re_ = w + 1, _CANON_RE
+    return f"""
+cand{w} AS (
+  SELECT f.* FROM frontier{w} f LEFT JOIN seen{w} s ON f.url = s.url WHERE s.url IS NULL
+),
+rob{w} AS (
+  SELECT c.* FROM (
+    SELECT c.*, CASE WHEN regexp_extract(c.url, '{re_}', 3) = '' THEN '/'
+                     ELSE regexp_extract(c.url, '{re_}', 3) END AS upath,
+           coalesce(r.disallow_prefixes, []::VARCHAR[]) AS dis
+    FROM cand{w} c LEFT JOIN robots r ON c.host = r.host
+  ) c
+  WHERE len(list_filter(c.dis, p -> starts_with(c.upath, p))) = 0
+),
+sched{w} AS (
+  SELECT rk.*, coalesce(b.max_pages, star.smax, 40) AS max_pages,
+         coalesce(b.delay_ms, star.sdelay, 1000) AS delay_ms,
+         rk.rank <= coalesce(b.max_pages, star.smax, 40) AS in_budget
+  FROM (
+    SELECT c.url, c.host, c.depth, c.disc_wave, c.disc_pos,
+           row_number() OVER (PARTITION BY c.host ORDER BY c.depth, c.disc_wave, c.disc_pos, c.url) AS rank
+    FROM rob{w} c
+  ) rk LEFT JOIN budgets b ON rk.host = b.host CROSS JOIN star
+),
+ord{w} AS (
+  SELECT url, host, {w}::BIGINT AS wave, rank::BIGINT AS rank, depth,
+         {w}::BIGINT * {_WAVE_EPOCH_MS} + (rank - 1)::BIGINT * delay_ms AS sched_ms
+  FROM sched{w} WHERE in_budget
+),
+links{w}_in AS (
+  SELECT f.rank AS p_rank, f.depth AS p_depth, gs.i - 1 AS link_pos, f.lst[gs.i] AS raw
+  FROM (
+    SELECT o.rank, o.depth, regexp_extract_all(p.html_s, 'href="([^"]+)"', 1) AS lst
+    FROM ord{w} o LEFT JOIN pages p ON o.url = p.url
+  ) f, UNNEST(generate_series(1, len(f.lst))) AS gs(i)
+),
+{_sql_canon_cte(f"links{w}").lstrip()},
+newcand{w} AS (
+  SELECT url, host, (p_depth + 1) AS depth, {nw} AS disc_wave,
+         p_rank::BIGINT * {_MAX_LINKS} + least(link_pos, {_MAX_LINKS - 1})::BIGINT AS disc_pos
+  FROM links{w}
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY (p_depth + 1),
+                             p_rank::BIGINT * {_MAX_LINKS} + least(link_pos, {_MAX_LINKS - 1})::BIGINT) = 1
+),
+deferred{w} AS (
+  SELECT url, host, depth, disc_wave, disc_pos FROM sched{w} WHERE NOT in_budget
+),
+frontier{nw} AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(url, '{re_}', 2)), ':[0-9]+$', '') AS host,
+         depth, disc_wave, disc_pos
+  FROM (
+    SELECT url, depth, disc_wave, disc_pos FROM deferred{w}
+    UNION ALL
+    SELECT url, depth, disc_wave, disc_pos FROM newcand{w}
+  )
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY depth, disc_wave, disc_pos) = 1
+),
+seen{nw} AS (
+  SELECT url FROM seen{w} UNION ALL SELECT url FROM ord{w}
+)"""
+
+
+def _sql_crawl_wave(waves: int = 3) -> str:
+    """Full-crawl replay oracle over the cached sf0.01 synthetic corpus
+    (materialized by _q_crawl_wave from the same deterministic generator).
+    Verifies plans/wave.py end to end: crawl order, URL-seen set, per-host
+    ranks and simulated politeness clock — zero shared code with the engine."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "corpus_sf0.01")
+    re_ = _CANON_RE
+    parts = [f"""
+pages AS (SELECT url, decode(html) AS html_s FROM read_parquet('{cache}/pages/*.parquet')),
+robots AS (SELECT * FROM read_parquet('{cache}/robots/*.parquet')),
+politeness AS (SELECT * FROM read_parquet('{cache}/politeness/*.parquet')),
+star AS (SELECT max_pages_per_wave AS smax, min_delay_ms AS sdelay FROM politeness WHERE host = '*'),
+budgets AS (
+  SELECT h.host,
+         coalesce(o.max_pages_per_wave, star.smax) AS max_pages,
+         greatest(coalesce(o.min_delay_ms, star.sdelay), coalesce(r.crawl_delay_ms, 0)) AS delay_ms
+  FROM (
+    SELECT host FROM robots UNION SELECT host FROM politeness WHERE host <> '*'
+  ) h
+  LEFT JOIN (SELECT * FROM politeness WHERE host <> '*') o ON h.host = o.host
+  LEFT JOIN robots r ON h.host = r.host
+  CROSS JOIN star
+),
+seeds0_in AS (
+  SELECT NULL::BIGINT AS p_rank, NULL::BIGINT AS p_depth, NULL::BIGINT AS link_pos, url AS raw
+  FROM read_parquet('{cache}/seeds/*.parquet')
+),
+{_sql_canon_cte("seeds0").lstrip()},
+frontier0 AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(url, '{re_}', 2)), ':[0-9]+$', '') AS host,
+         0 AS depth, 0 AS disc_wave, 0::BIGINT AS disc_pos
+  FROM seeds0
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY url) = 1
+),
+seen0 AS (SELECT NULL::VARCHAR AS url WHERE false)"""]
+    for w in range(waves):
+        parts.append(_sql_crawl_wave_ctes(w))
+    final = " UNION ALL ".join(f"SELECT url, host, wave, rank, sched_ms FROM ord{w}" for w in range(waves))
+    return "WITH " + ",".join(parts) + "\n" + final
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1137,4 +1286,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(),
         "doc_fingerprint": _sql_fingerprint(),
         "embedding_lsh_ann": _sql_ann_lsh(),
+        "crawl_wave_e2e": _sql_crawl_wave(),
     }
