@@ -1046,6 +1046,22 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_media(spark, 256)).select("media_id", "kind", "n_bytes", "width", "height", "status")
 
 
+# The fake decoder (multimodal.py:_fake_decode) reads the ASCII bytes of the
+# sha2-hex payload, so the projected integer features are pure hex-digest
+# arithmetic DuckDB reproduces independently: width/height are the first two
+# hex chars' ASCII codes mod 64 + 1. Only the float `feat` vector (np.float32
+# chunk means) stays outside SQL, and the query doesn't project it.
+_SQL_MULTIMODAL = """
+SELECT media_id,
+       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(64 AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(sha256(CAST(media_id AS VARCHAR)), 1, 1)) % 64 + 1 AS INTEGER) AS width,
+       CAST(ascii(substr(sha256(CAST(media_id AS VARCHAR)), 2, 1)) % 64 + 1 AS INTEGER) AS height,
+       'ok' AS status
+FROM range(256) t(media_id)
+"""
+
+
 def _q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl on the synthetic corpus. Oracled: _sql_crawl_wave()
     replays the ENTIRE 3-wave crawl (canonicalization, seen anti-join,
@@ -1242,7 +1258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "langid_stopwords": _q_langid,
         "embedding_cosine_topk": _q_embedding_topk,
-        # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
@@ -1286,5 +1301,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(),
         "doc_fingerprint": _sql_fingerprint(),
         "embedding_lsh_ann": _sql_ann_lsh(),
+        "multimodal_features": _SQL_MULTIMODAL,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }
