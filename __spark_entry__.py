@@ -52,7 +52,7 @@ from webscraper_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from webscraper_spark.operators.simsearch import brute_force_topk, lsh_ann_topk  # noqa: E402
+from webscraper_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_ann_topk  # noqa: E402
 
 RUN_DATE = "2020-09-01"
 _STOP = {
@@ -839,6 +839,51 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank"))
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(e, q, k=5, n_cells=16, n_probe=4).select(
+        "q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank")
+    )
+
+
+def _sql_ivf_ann(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """Independent DuckDB replay of the whole IVF chain: same h60-ordered
+    codebook sample, same rounded-cosine cell assignment and query probe
+    (ties to the smaller cell_id), same candidate re-rank."""
+    h = _sql_h60("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (
+  SELECT vec_id AS cell_id, emb AS cvec FROM (
+    SELECT vec_id, emb, row_number() OVER (ORDER BY {h}, vec_id) AS rk FROM e
+  ) WHERE rk <= {n_cells}
+),
+assign AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cell_id) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT q_id, q_vec, cell_id FROM (
+    SELECT q.vec_id AS q_id, q.emb AS q_vec, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.emb, c.cvec), 6) DESC, c.cell_id) AS rk
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rk <= {n_probe}
+)
+SELECT q_id, vec_id, nn_rank FROM (
+  SELECT p.q_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY round(list_cosine_similarity(a.emb, p.q_vec), 6) DESC, a.vec_id) AS nn_rank
+  FROM assign a JOIN probe p USING (cell_id)
+) WHERE nn_rank <= {k}
+"""
+
+
 def _sql_h60(expr: str) -> str:
     """DuckDB rendition of dedup.h60: first 15 md5 hex chars as BIGINT."""
     return (
@@ -1262,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "embedding_lsh_ann": _q_ann_lsh,
+        "embedding_ivf_ann": _q_ivf_ann,
         "multimodal_features": _q_multimodal_features,
         "crawl_wave_e2e": _q_crawl_wave,
     }
@@ -1301,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(),
         "doc_fingerprint": _sql_fingerprint(),
         "embedding_lsh_ann": _sql_ann_lsh(),
+        "embedding_ivf_ann": _sql_ivf_ann(),
         "multimodal_features": _SQL_MULTIMODAL,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

@@ -198,7 +198,7 @@ def main() -> None:
         "frontier_rank_per_host", "url_canonicalize", "cross_join_pricing_matrix",
         "sessionize_events", "exact_dedup_groups", "minhash_lsh_pairs",
         "quality_score", "langid_stopwords", "embedding_cosine_topk",
-        "embedding_lsh_ann", "simhash_pairs", "token_count",
+        "embedding_lsh_ann", "embedding_ivf_ann", "simhash_pairs", "token_count",
     ]
     # Min of two timed runs per query: single-shot numbers on this shared
     # host swing 2-3x with neighbour load (see scaling notes), and the first

@@ -207,3 +207,39 @@ def test_lsh_ann_dim768(spark):
     weird = spark.createDataFrame([(1, None), (2, [1.0] * 3)], "vec_id int, embedding array<float>")
     got = weird.select(sign_lsh_bucket_udf(dim)(F.col("embedding")).alias("b")).collect()
     assert all(r.b is None for r in got)
+
+
+def test_ivf_ann_recall_self_and_codebook(spark, emb):
+    """IVF chain: deterministic h60-sampled codebook of exactly n_cells
+    corpus vectors; every query's own vector survives probing (its assigned
+    cell is probe #1) so self is top-1; recall vs brute force is sane; null
+    and wrong-dim vectors route to NULL cells (dropped), not an error."""
+    from webscraper_spark.operators.simsearch import ivf_cells_udf, ivf_topk, train_centroids
+
+    queries = emb.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(emb, queries, k=10).collect()
+    ann = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=6).collect()
+    recalls = []
+    for qid in {r.q_id for r in brute}:
+        b = {r.vec_id for r in brute if r.q_id == qid}
+        a = {r.vec_id for r in ann if r.q_id == qid}
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    for qid in {r.q_id for r in ann}:
+        top1 = min((r for r in ann if r.q_id == qid), key=lambda r: r.rank)
+        assert top1.vec_id == qid  # self survives probing
+
+    base = emb.select(F.col("vec_id"), F.col("embedding").alias("vec"))
+    cents = train_centroids(base, 16).collect()
+    corpus_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    assert len(cents) == 16 and {r.cell_id for r in cents} <= corpus_ids
+    # rerunning training yields the identical codebook (hash order, no RNG)
+    assert {r.cell_id for r in train_centroids(base, 16).collect()} == {r.cell_id for r in cents}
+
+    import numpy as np
+
+    ids = np.array([r.cell_id for r in cents])
+    mat = np.array([list(r.cvec) for r in cents], dtype=np.float64)
+    weird = spark.createDataFrame([(1, None), (2, [1.0] * 3)], "vec_id int, embedding array<float>")
+    got = weird.select(ivf_cells_udf(ids, mat, 2)(F.col("embedding")).alias("c")).collect()
+    assert all(r.c is None for r in got)

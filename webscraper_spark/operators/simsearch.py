@@ -2,9 +2,15 @@
 
 - brute-force cosine top-k: the correctness baseline; native F.zip_with /
   F.aggregate dot products (JVM-side), window top-k.
-- sign-LSH (random hyperplanes) bucketed ANN: the scale path — candidates
+- sign-LSH (random hyperplanes) bucketed ANN: one scale path — candidates
   share at least one band bucket, so the join is per-bucket instead of n².
   Recall vs brute force is measured in tests.
+- IVF (inverted-file) ANN: the other scale path — a small codebook of cell
+  centroids partitions the corpus; queries probe only their n_probe nearest
+  cells, so the candidate join is per-cell. Codebook "training" here is a
+  deterministic h60-ordered sample (the k-means plug point is the
+  (cell_id, cvec) DataFrame shape), which keeps every step recomputable by
+  the ANSI-SQL correctness oracle.
 
 Hyperplanes are xxhash64-derived pseudo-randoms (deterministic, seeded) —
 no numpy RNG state at plan-build time, so plans are reproducible.
@@ -118,6 +124,94 @@ def lsh_ann_topk(
     scored = cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("q_vec")), 6))
     # Rounded-cosine ranking: same engine-independent ordering as
     # brute_force_topk (ties at 1e-6 break by vec_id).
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rk").alias("rank"))
+    )
+
+
+def train_centroids(df: DataFrame, n_cells: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """Deterministic IVF codebook: the n_cells corpus vectors that come
+    first in h60(id) order (a seed-free pseudo-random sample). orderBy +
+    limit compiles to TakeOrderedAndProject — a distributed top-n, no
+    global sort — so this is cheap at any corpus size. A real k-means
+    codebook drops in as any (cell_id, cvec) DataFrame of the same shape;
+    the hash-sample keeps the whole pipeline recomputable by the ANSI-SQL
+    oracle (md5 on both engines), which k-means iterations would not be."""
+    from webscraper_spark.operators.dedup import h60
+
+    return (
+        df.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(h60(F.col("cell_id").cast("string")).asc(), F.col("cell_id").asc())
+        .limit(n_cells)
+    )
+
+
+def ivf_cells_udf(cent_ids: np.ndarray, cent_mat: np.ndarray, n_probe: int):
+    """Vectorized cell router: vec -> array<long> of the n_probe nearest
+    cell ids by cosine rounded to 6 decimals (ties break toward the smaller
+    cell_id — the same engine-independent ordering the top-k rankers use).
+    The codebook rides in the UDF closure (n_cells x dim float64 — KBs),
+    not the plan; one numpy matmul per Arrow batch."""
+    order_ids = np.argsort(cent_ids, kind="stable")
+    cent_ids = np.asarray(cent_ids)[order_ids]
+    cent_mat = np.asarray(cent_mat, dtype=np.float64)[order_ids]
+    cnorm = np.linalg.norm(cent_mat, axis=1)
+    dim = cent_mat.shape[1]
+    p = min(n_probe, len(cent_ids))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cells(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                mat[i] = v
+                ok[i] = True
+        vnorm = np.linalg.norm(mat, axis=1)
+        denom = np.outer(vnorm, cnorm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (mat @ cent_mat.T) / denom, 0.0)
+        cos = np.round(cos, 6)
+        # stable argsort of -cos: ties resolve to the earlier index, and
+        # cent_* rows are pre-sorted by cell_id asc -> smaller id wins.
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+        keys = cent_ids[order]
+        return pd.Series([list(r) if o else None for r, o in zip(keys, ok)])
+
+    return cells
+
+
+def ivf_topk(
+    df: DataFrame, queries: DataFrame, k: int = 10,
+    n_cells: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    codebook cell (embarrassingly parallel map — no shuffle), route each
+    query to its n_probe nearest cells, join candidates per cell, then
+    exact rounded-cosine + window top-k on candidates only.
+
+    The codebook is collected to the driver to build the router closure —
+    it is configuration-sized (n_cells rows), not data; the corpus itself
+    never leaves the executors."""
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cent_rows = sorted(train_centroids(base, n_cells).collect(), key=lambda r: r["cell_id"])
+    cent_ids = np.asarray([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+
+    assign = base.withColumn("cell", ivf_cells_udf(cent_ids, cent_mat, 1)(F.col("vec")).getItem(0))
+    probe = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")).select(
+        "q_id", "q_vec",
+        F.explode(ivf_cells_udf(cent_ids, cent_mat, n_probe)(F.col("q_vec"))).alias("cell"),
+    )
+    cand = assign.join(F.broadcast(probe), "cell")
+    scored = cand.withColumn("cos", F.round(cosine(F.col("vec"), F.col("q_vec")), 6))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
