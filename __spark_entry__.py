@@ -839,6 +839,76 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank"))
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the embeddings table + 20 planted
+    near-copies (first component nudged by 0.05 — the raw table's max
+    pairwise cosine is ~0.51, so the threshold isolates exactly the plants
+    the LSH buckets recover)."""
+    from webscraper_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(e.unionByName(planted), dim=64, threshold=0.9)
+
+
+def _sql_embedding_near_dup(threshold: float = 0.9) -> str:
+    """Independent DuckDB replay: same LCG hyperplane chain as the ANN
+    oracle, same planted near-copies, band-bucket candidate pairs, exact
+    rounded-cosine filter."""
+    return f"""
+WITH RECURSIVE lcg(p, i, st) AS (
+  SELECT p, 0, (CAST(p + 1 AS HUGEINT) * 11400714819323198485::HUGEINT)
+               % 18446744073709551616::HUGEINT
+  FROM UNNEST(generate_series(0, 15)) AS t(p)
+  UNION ALL
+  SELECT p, i + 1,
+         (st * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+         % 18446744073709551616::HUGEINT
+  FROM lcg WHERE i < 64
+),
+planes AS (
+  SELECT p, list(CAST(st // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY i) AS vec
+  FROM lcg WHERE i >= 1 GROUP BY p
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([embedding[1]::DOUBLE + 0.05], (embedding::DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id < 20
+),
+bits AS (
+  SELECT e.vec_id, p.p, CASE WHEN list_dot_product(e.emb, p.vec) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, p // 2 AS band,
+         sum(CASE WHEN p % 2 = 0 THEN bit * 2 ELSE bit END) AS bucket
+  FROM bits GROUP BY vec_id, p // 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT cand.id_a, cand.id_b,
+         round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+) WHERE cos >= {threshold}
+"""
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -1308,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "embedding_lsh_ann": _q_ann_lsh,
         "embedding_ivf_ann": _q_ivf_ann,
+        "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "crawl_wave_e2e": _q_crawl_wave,
     }
@@ -1348,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_fingerprint(),
         "embedding_lsh_ann": _sql_ann_lsh(),
         "embedding_ivf_ann": _sql_ivf_ann(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

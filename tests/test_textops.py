@@ -243,3 +243,23 @@ def test_ivf_ann_recall_self_and_codebook(spark, emb):
     weird = spark.createDataFrame([(1, None), (2, [1.0] * 3)], "vec_id int, embedding array<float>")
     got = weird.select(ivf_cells_udf(ids, mat, 2)(F.col("embedding")).alias("c")).collect()
     assert all(r.c is None for r in got)
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    """Planted near-copies (first component +0.05) are recovered as near-dup
+    pairs by the LSH-bucketed path; the raw corpus (max pairwise cosine
+    ~0.5) contributes none."""
+    from webscraper_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+                 F.slice("embedding", 2, 63)).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(e.unionByName(planted), dim=64, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(i, i + 1000000) for i in range(10)}
+    assert all(r.cos >= 0.9 for r in pairs)
+    # no pairs at all in the raw corpus at this threshold
+    assert embedding_near_dup_pairs(e, dim=64, threshold=0.9).count() == 0

@@ -3,7 +3,8 @@ n-gram Jaccard, embedding-cosine near-dup.
 
 All hot paths are native column expressions (hashing, shingling, signatures
 via F.transform/F.array_min — inside codegen); only SimHash's 64-bit
-majority-vote uses a pandas UDF (Arrow-vectorized numpy, no per-row Python).
+majority-vote and the embedding bucketer borrowed from simsearch use pandas
+UDFs (Arrow-vectorized numpy, no per-row Python).
 
 Scale design: MinHash-LSH is the 100 TB path — band buckets shard the
 candidate space so the self-join is |bucket|² per bucket instead of n²;
@@ -274,3 +275,35 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.9,
+    n_planes: int = 16, bands: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
+    threshold). Scale path: sign-LSH band buckets shard the candidate space
+    — a candidate pair must share at least one of `bands` band buckets, so
+    the self-join is per-bucket instead of n², and it carries ids only
+    (vectors are fetched back once for the exact-cosine verify), mirroring
+    minhash_lsh_pairs' thin-join shape. Recall follows the LSH collision
+    bound: near-identical vectors agree on almost every sign bit."""
+    from webscraper_spark.operators.simsearch import cosine, sign_lsh_bucket_udf
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    buckets = sign_lsh_bucket_udf(dim, n_planes, bands)
+    banded = base.select("id", F.posexplode(buckets(F.col("vec"))).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    )
+    return scored.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
