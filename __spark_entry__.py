@@ -1166,6 +1166,32 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic DuckDB reproduces independently: width/height are the first two
 # hex chars' ASCII codes mod 64 + 1. Only the float `feat` vector (np.float32
 # chunk means) stays outside SQL, and the query doesn't project it.
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscraper_spark.operators.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(spark, 256))
+
+
+def _sql_multimodal_resize() -> str:
+    """The fake resizer emits sha256(payload || '32x32') where payload is the
+    sha2-hex of the id — a pure hash chain DuckDB replays; resized_h60 is
+    the digest's first 15 hex chars as BIGINT (the h60 parse, sans md5)."""
+    parse = (
+        "list_reduce(list_transform(string_split(substr(sha256(sha256(CAST(media_id AS VARCHAR)) || '32x32'), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1), (a, b) -> a * 16 + b)"
+    )
+    return f"""
+SELECT media_id,
+       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(64 AS BIGINT) AS n_bytes,
+       {parse} AS resized_h60,
+       'ok' AS status
+FROM range(256) t(media_id)
+"""
+
+
 _SQL_MULTIMODAL = """
 SELECT media_id,
        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -1380,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann": _q_ivf_ann,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -1421,5 +1448,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_ann": _sql_ivf_ann(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
+        "multimodal_resize": _sql_multimodal_resize(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

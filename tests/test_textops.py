@@ -263,3 +263,25 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert all(r.cos >= 0.9 for r in pairs)
     # no pairs at all in the raw corpus at this threshold
     assert embedding_near_dup_pairs(e, dim=64, threshold=0.9).count() == 0
+
+
+def test_multimodal_resize_plan(spark):
+    """Resize stage: one row out per row in, target dims on every ok row,
+    deterministic sha-chain output, null-payload path, real-resizer gate."""
+    import hashlib
+
+    from webscraper_spark.operators.multimodal import resize_plan
+
+    media = synth_media(spark, 6).withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.lit(None).cast("binary")).otherwise(F.col("payload"))
+    )
+    rows = {r.media_id: r for r in resize_plan(media, 32, 32).collect()}
+    assert len(rows) == 6
+    assert rows[0].status == "null_payload" and rows[0].width == 0
+    for mid in range(1, 6):
+        r = rows[mid]
+        assert (r.width, r.height, r.status) == (32, 32, "ok")
+        want = hashlib.sha256(hashlib.sha256(str(mid).encode()).hexdigest().encode() + b"32x32").hexdigest()
+        assert r.resized_h60 == int(want[:15], 16)
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_plan(media, require_real_resizer=True).collect()

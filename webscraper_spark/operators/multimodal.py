@@ -103,3 +103,47 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(frames - 1, F.lit(0)), F.lit(every_n))))
         .select("media_id", "n_frames", "frame_idx")
     )
+
+
+RESIZE_SCHEMA = "media_id long, kind string, width int, height int, n_bytes long, resized_h60 long, status string"
+
+
+def resize_plan(df: DataFrame, target_w: int = 32, target_h: int = 32,
+                require_real_resizer: bool = False) -> DataFrame:
+    """mapInPandas resize stage: payload -> resized payload at
+    (target_w, target_h). STUBBED like the decoder: the fake resizer derives
+    the output bytes as sha256(payload || '{w}x{h}') — deterministic and
+    recomputable by the SQL oracle — while the Spark-side contract (Arrow
+    batches, one row out per row in, null-payload path, binary-in/binary-out
+    schema) is the real plumbing a PIL/ffmpeg resizer drops into."""
+    import hashlib
+
+    suffix = f"{target_w}x{target_h}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if require_real_resizer:
+                raise NotImplementedError(
+                    "real image resize requires PIL/ffmpeg — not available in this "
+                    "environment; plug the resizer in here (signature: bytes, w, h -> bytes)"
+                )
+            rows = {"media_id": [], "kind": [], "width": [], "height": [], "n_bytes": [], "resized_h60": [], "status": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                if payload is None:
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_bytes"].append(0)
+                    rows["resized_h60"].append(0)
+                    rows["status"].append("null_payload")
+                    continue
+                out = hashlib.sha256(bytes(payload) + suffix).hexdigest()
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                rows["n_bytes"].append(len(out))
+                rows["resized_h60"].append(int(out[:15], 16))
+                rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
