@@ -281,7 +281,7 @@ def main() -> None:
             # 32-core runs measured 82s..432s); the curated multi-day study
             # with all reps + probe context lives in BENCH/BASELINE.md.
             "curated_study": "BENCH/BASELINE.md: best local[32] 82.1s (58k URLs/s) vs "
-                             "local[8] 205.2s at sf2.5 -> raw 0.625, hw-normalized 0.85",
+                             "local[8] 193.9s at sf2.5 -> raw 0.59, hw-normalized 0.80",
         }
         _write_last_run_md(scaling_sf, max_waves, results, scaling, n_lo, n_hi)
 
