@@ -834,9 +834,24 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    """Sign-LSH ANN over the embeddings table + 20 planted near-copies: at
+    the selective 16-bit-band defaults a uniform-random corpus has no
+    genuinely-near neighbours to retrieve (only self collides), so the
+    plants give the gate non-trivial retrievals to verify."""
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_ann_topk(e, q, dim=64, k=5).select("q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank"))
+    return lsh_ann_topk(e.unionByName(planted), q, dim=64, k=5).select(
+        "q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank")
+    )
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,13 +876,13 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_embedding_near_dup(threshold: float = 0.9) -> str:
     """Independent DuckDB replay: same LCG hyperplane chain as the ANN
-    oracle, same planted near-copies, band-bucket candidate pairs, exact
-    rounded-cosine filter."""
+    oracle (128 planes -> 8 bands x 16 big-endian sign bits), same planted
+    near-copies, band-bucket candidate pairs, exact rounded-cosine filter."""
     return f"""
 WITH RECURSIVE lcg(p, i, st) AS (
   SELECT p, 0, (CAST(p + 1 AS HUGEINT) * 11400714819323198485::HUGEINT)
                % 18446744073709551616::HUGEINT
-  FROM UNNEST(generate_series(0, 15)) AS t(p)
+  FROM UNNEST(generate_series(0, 127)) AS t(p)
   UNION ALL
   SELECT p, i + 1,
          (st * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
@@ -890,9 +905,9 @@ bits AS (
   FROM e CROSS JOIN planes p
 ),
 buckets AS (
-  SELECT vec_id, p // 2 AS band,
-         sum(CASE WHEN p % 2 = 0 THEN bit * 2 ELSE bit END) AS bucket
-  FROM bits GROUP BY vec_id, p // 2
+  SELECT vec_id, p // 16 AS band,
+         sum(bit * (1 << (15 - (p % 16)))) AS bucket
+  FROM bits GROUP BY vec_id, p // 16
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1108,13 +1123,13 @@ SELECT doc_id, {fp} AS fp64 FROM shingled
 def _sql_ann_lsh() -> str:
     """Sign-LSH ANN oracle: replays simsearch._hyperplane's LCG chain with
     HUGEINT mod-2^64 arithmetic in a recursive CTE, buckets corpus + query
-    vectors by sign bits (bands=8, 2 planes/band, big-endian), then exact
+    vectors by sign bits (bands=8, 16 planes/band, big-endian), then exact
     rounded-cosine top-5 over candidates."""
     return """
 WITH RECURSIVE lcg(p, i, st) AS (
   SELECT p, 0, (CAST(p + 1 AS HUGEINT) * 11400714819323198485::HUGEINT)
                % 18446744073709551616::HUGEINT
-  FROM UNNEST(generate_series(0, 15)) AS t(p)
+  FROM UNNEST(generate_series(0, 127)) AS t(p)
   UNION ALL
   SELECT p, i + 1,
          (st * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
@@ -1125,15 +1140,21 @@ planes AS (
   SELECT p, list(CAST(st // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY i) AS vec
   FROM lcg WHERE i >= 1 GROUP BY p
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([embedding[1]::DOUBLE + 0.05], (embedding::DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id < 20
+),
 bits AS (
   SELECT e.vec_id, p.p, CASE WHEN list_dot_product(e.emb, p.vec) >= 0 THEN 1 ELSE 0 END AS bit
   FROM e CROSS JOIN planes p
 ),
 buckets AS (
-  SELECT vec_id, p // 2 AS band,
-         sum(CASE WHEN p % 2 = 0 THEN bit * 2 ELSE bit END) AS bucket
-  FROM bits GROUP BY vec_id, p // 2
+  SELECT vec_id, p // 16 AS band,
+         sum(bit * (1 << (15 - (p % 16)))) AS bucket
+  FROM bits GROUP BY vec_id, p // 16
 ),
 cand AS (
   SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id

@@ -142,16 +142,68 @@ def test_brute_force_topk_matches_numpy(spark, emb):
         assert set(mine) == set(want), (q.q_id, mine, want)
 
 
-def test_lsh_ann_recall(spark, emb):
-    queries = emb.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    brute = brute_force_topk(emb, queries, k=10).collect()
-    ann = lsh_ann_topk(emb, queries, dim=64, k=10).collect()
+def _clustered_emb(spark, n: int, dim: int, n_clusters: int):
+    """Deterministic clustered corpus: near neighbours genuinely near (the
+    regime ANN recall is defined over — on uniform-random vectors the
+    'nearest' neighbours sit at cos~0.5 and a selective LSH correctly
+    returns almost nothing)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        base = [math.sin(0.1 * (c + 1) * (j + 1)) for j in range(dim)]
+        noise = [((i * 2654435761 + j * 40503) % 1000) / 5000.0 - 0.1 for j in range(dim)]
+        rows.append((i, [float(b + 0.05 * w) for b, w in zip(base, noise)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_lsh_ann_recall(spark):
+    emb64 = _clustered_emb(spark, 200, 64, 8)
+    queries = emb64.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(emb64, queries, k=10).collect()
+    ann = lsh_ann_topk(emb64, queries, dim=64, k=10).collect()
     recalls = []
     for qid in {r.q_id for r in brute}:
         b = {r.vec_id for r in brute if r.q_id == qid}
         a = {r.vec_id for r in ann if r.q_id == qid}
         recalls.append(len(a & b) / len(b))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_lsh_ann_self_on_random_corpus(spark, emb):
+    """Uniform-random corpus: every query still collides with itself in all
+    bands (identical sign bits), so self comes back as rank-1 even though
+    the selective buckets admit few random candidates."""
+    queries = emb.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ann = lsh_ann_topk(emb, queries, dim=64, k=10).collect()
+    for qid in {r.q_id for r in ann}:
+        top1 = min((r for r in ann if r.q_id == qid), key=lambda r: r.rank)
+        assert top1.vec_id == qid
+
+
+def test_lsh_candidate_selectivity(spark):
+    """The north-scale property the 16-bit-band defaults buy: candidate
+    pairs from the band self-join stay ≪ n²/2 on a few-thousand-row corpus
+    (2-bit bands collided ~90% of ALL pairs -> degenerate n² join), while
+    planted near-identical pairs still surface as candidates."""
+    import numpy as np
+
+    from webscraper_spark.operators.dedup import sign_lsh_candidate_pairs
+
+    rng = np.random.default_rng(0)
+    n, dim = 3000, 64
+    mat = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    # 20 planted near-copies (tiny perturbation -> cos ~0.9999)
+    rows += [(1_000_000 + i, [float(x + 0.01) for x in mat[i]]) for i in range(20)]
+    base = spark.createDataFrame(rows, "id long, vec array<double>")
+    cand = sign_lsh_candidate_pairs(base, dim=dim).collect()
+    got = {(r.id_a, r.id_b) for r in cand}
+    n_tot = n + 20
+    assert len(got) <= (n_tot * (n_tot - 1) // 2) * 0.01, len(got)  # ≪ n²/2
+    planted_hits = sum((i, 1_000_000 + i) in got for i in range(20))
+    assert planted_hits >= 18, planted_hits
 
 
 def test_multimodal_plumbing(spark):

@@ -126,6 +126,12 @@ def minhash_lsh_pairs(
        shingles once per side for the verify join.
     3. verify candidates with exact Jaccard over shingle sets; keep >= threshold
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Caching contract: the shared shingle table is persist()ed and the handle
+    is attached to the returned DataFrame as `_shingle_cache`. One-shot
+    callers can ignore it (Spark's LRU / ContextCleaner reclaims it under
+    pressure); long-lived sessions issuing many calls should
+    `result._shingle_cache.unpersist()` after materializing the result.
     """
     # One shingle pass, shared by the band stage and both verify join sides
     # (shingling is the compute-dense step; three lineage re-runs tripled
@@ -159,11 +165,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         pairs.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._shingle_cache = sh_tbl  # explicit unpersist handle (see docstring)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -192,17 +200,24 @@ def ngram_jaccard_pairs(
     )
 
 
+_SWEEP_CAP = 4096  # bytes of column-sweep before falling back per-token
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(tokens_s: pd.Series) -> pd.Series:
     """64-bit SimHash over token arrays — Arrow-vectorized numpy majority
     vote (the one dedup primitive not expressible as column ops).
 
-    Fully batch-vectorized: all tokens in the Arrow batch are FNV-1a-hashed
-    at once over a zero-padded byte matrix (one numpy pass per byte column,
-    ~max-token-len passes total), then per-doc votes come from a single
-    np.add.reduceat — no per-row or per-token Python in the hot loop.
-    Output is bit-for-bit identical to the per-row reference
-    (hash_str64, kept below as the test oracle)."""
+    Batch-vectorized with FLAT memory: tokens are sorted by byte length and
+    FNV-1a advances one byte-column per numpy pass over only the tokens that
+    still have a byte at that position (a shrinking suffix of the sorted
+    order). Total work is O(total_bytes), total allocation O(total_tokens) —
+    the previous padded-matrix formulation was O(total_tokens x
+    max_token_len) in BOTH, so one pathological 100KB token (minified JS /
+    base64 from whitespace tokenization of real web text) multiplied memory
+    for the whole Arrow batch. Votes come from a single np.add.reduceat.
+    Output is bit-for-bit identical to the per-row reference (hash_str64,
+    kept below as the test oracle)."""
     n_docs = len(tokens_s)
     counts = np.fromiter(
         (0 if t is None else len(t) for t in tokens_s), dtype=np.int64, count=n_docs
@@ -221,15 +236,35 @@ def simhash64(tokens_s: pd.Series) -> pd.Series:
     max_len = int(lens.max())
     barr = np.frombuffer(b"".join(enc), dtype=np.uint8)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    idx = offs[:, None] + np.arange(max_len)[None, :]
-    np.clip(idx, 0, max(len(barr) - 1, 0), out=idx)  # pad reads masked out below
-    mat = barr[idx]
-    mask = np.arange(max_len)[None, :] < lens[:, None]
-    h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+    # Length-sorted sweep: at byte position j only tokens with len > j are
+    # live, and after the stable sort those form the suffix starting at
+    # searchsorted(lens, j). Each pass is one gather + xor + multiply over
+    # the live suffix; per-token op order is unchanged, so hashes stay
+    # bit-identical to hash_str64.
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    offs_s = offs[order]
+    h_s = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
     prime = np.uint64(0x100000001B3)
-    for j in range(max_len):
-        hj = (h ^ mat[:, j].astype(np.uint64)) * prime  # uint64 wraps mod 2^64
-        h = np.where(mask[:, j], hj, h)
+    # Column-sweep cap: beyond _SWEEP_CAP bytes the per-column numpy-call
+    # overhead exceeds a plain Python byte loop over the (rare) long tokens,
+    # so the tail of each >cap token finishes per-token instead of driving
+    # max_len tiny numpy passes for the whole batch.
+    sweep = min(max_len, _SWEEP_CAP)
+    starts = np.searchsorted(lens_s, np.arange(sweep), side="right")
+    for j in range(sweep):
+        s = starts[j]
+        b = barr[offs_s[s:] + j]
+        h_s[s:] = (h_s[s:] ^ b.astype(np.uint64)) * prime  # uint64 wraps mod 2^64
+    if max_len > _SWEEP_CAP:
+        mask64 = (1 << 64) - 1
+        for i in range(int(np.searchsorted(lens_s, _SWEEP_CAP, side="right")), total):
+            hh = int(h_s[i])
+            for ch in barr[offs_s[i] + _SWEEP_CAP: offs_s[i] + lens_s[i]].tobytes():
+                hh = ((hh ^ ch) * 0x100000001B3) & mask64
+            h_s[i] = hh
+    h = np.empty_like(h_s)
+    h[order] = h_s
     # Majority vote without the 8-byte ±1 expansion: unpack hash bytes to a
     # (tokens, 64) uint8 bit matrix (bit b in column b, little-endian), sum
     # set-bit COUNTS per doc, and take bit b iff 2*count_b > n_tokens —
@@ -277,9 +312,29 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def sign_lsh_candidate_pairs(
+    base: DataFrame, dim: int, n_planes: int = 128, bands: int = 8
+) -> DataFrame:
+    """Sign-LSH candidate pair stage over (id, vec) rows: id-only self-join
+    within (band, bucket). Exposed separately so the candidate count — the
+    quantity that decides whether the join is sharded or degenerate-n² at
+    corpus scale — is directly testable (see test_lsh_candidate_selectivity)."""
+    from webscraper_spark.operators.simsearch import sign_lsh_bucket_udf
+
+    buckets = sign_lsh_bucket_udf(dim, n_planes, bands)
+    banded = base.select("id", F.posexplode(buckets(F.col("vec"))).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, dim: int, threshold: float = 0.9,
-    n_planes: int = 16, bands: int = 8,
+    n_planes: int = 128, bands: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
@@ -288,19 +343,13 @@ def embedding_near_dup_pairs(
     the self-join is per-bucket instead of n², and it carries ids only
     (vectors are fetched back once for the exact-cosine verify), mirroring
     minhash_lsh_pairs' thin-join shape. Recall follows the LSH collision
-    bound: near-identical vectors agree on almost every sign bit."""
-    from webscraper_spark.operators.simsearch import cosine, sign_lsh_bucket_udf
+    bound: near-identical vectors agree on almost every sign bit; 16-bit
+    bands (defaults) collide random pairs at ~2^-16 per band, so candidates
+    stay ≪ n²/2 (asserted at few-thousand-row scale in tests)."""
+    from webscraper_spark.operators.simsearch import cosine
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    buckets = sign_lsh_bucket_udf(dim, n_planes, bands)
-    banded = base.select("id", F.posexplode(buckets(F.col("vec"))).alias("band", "bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = sign_lsh_candidate_pairs(base, dim, n_planes, bands)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(

@@ -40,10 +40,17 @@ def schedule_ranked(cand: DataFrame, budgets: DataFrame, wave: int) -> DataFrame
     # resolve_budgets ran) inherit the politeness '*' defaults, carried as
     # the budgets row with host='*'; the literal (40, 1000) fires only when
     # no '*' row exists at all (hand-built budgets in tests).
-    star = budgets.filter(F.col("host") == "*").select(
-        F.lit(1).alias("_k"),
-        F.col("max_pages").alias("star_max"),
-        F.col("delay_ms").alias("star_delay"),
+    # Collapse '*' to exactly one row defensively: resolve_budgets emits one,
+    # but hand-built budgets tables could carry duplicates, and the star row
+    # cross-joins every candidate (a dup would silently duplicate the batch).
+    star = (
+        budgets.filter(F.col("host") == "*")
+        .groupBy()
+        .agg(
+            F.min("max_pages").alias("star_max"),
+            F.min("delay_ms").alias("star_delay"),
+        )
+        .withColumn("_k", F.lit(1))
     )
     ranked = (
         rank_candidates(cand)

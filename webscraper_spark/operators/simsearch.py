@@ -70,16 +70,24 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def sign_lsh_bucket_udf(dim: int, n_planes: int = 16, bands: int = 4):
+def sign_lsh_bucket_udf(dim: int, n_planes: int = 128, bands: int = 8):
     """Vectorized bucketer: vec -> array<long> of `bands` band keys (index =
     band id). One numpy matmul per Arrow batch; the (n_planes x dim) plane
-    matrix rides in the UDF closure (~100KB at dim 768), NOT in the plan —
+    matrix rides in the UDF closure (~800KB at dim 768), NOT in the plan —
     the previous expression-tree encoding baked n_planes*dim literals into
     every plan and exploded at dim>=768.
 
     Band key = big-endian sign bits of the band's planes — the same encoding
     as the retired expression version (assignments can differ only where a
-    dot product sits within float-summation-order distance of 0)."""
+    dot product sits within float-summation-order distance of 0).
+
+    Defaults give 16 sign bits (65,536 buckets) per band — the standard
+    bits-per-band regime. The retired 16-plane/8-band default left 2 bits
+    (4 buckets) per band, so ~90% of ALL pairs shared some band and the
+    "bucketed" self-join degenerated toward n² at corpus scale; 16-bit bands
+    collide random pairs at ~(1/2)^16 per band while near-identical vectors
+    (sign agreement ~ 1 - theta/pi per plane) still collide with probability
+    ~1 in at least one band."""
     if n_planes % bands != 0:
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     per = n_planes // bands
@@ -107,7 +115,7 @@ def sign_lsh_bucket_udf(dim: int, n_planes: int = 16, bands: int = 4):
 
 def lsh_ann_topk(
     df: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-    n_planes: int = 16, bands: int = 8,
+    n_planes: int = 128, bands: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:

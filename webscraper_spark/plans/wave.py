@@ -86,7 +86,7 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
-def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
+def tune_scan_splits(spark: SparkSession, source: DataFrame) -> dict[str, str] | None:
     """Size file-scan splits so the corpus scan parallelizes to the cluster.
 
     The default maxPartitionBytes=128MB / openCostInBytes=4MB bin-packs a
@@ -99,7 +99,12 @@ def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
     no-op.
     """
     try:
-        files = [f[7:] if f.startswith("file:") else f for f in source.inputFiles()]
+        # Hadoop may return 'file:///p', 'file:/p' or a bare path — parse the
+        # scheme robustly (a naive f[7:] mangled single-slash forms and
+        # silently dropped them from the size total).
+        from urllib.parse import urlparse
+
+        files = [urlparse(f).path if f.startswith("file:") else f for f in source.inputFiles()]
         total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
     except Exception:
         return
@@ -113,8 +118,14 @@ def tune_scan_splits(spark: SparkSession, source: DataFrame) -> None:
     # (WS_SPLITS_PER_CORE, default 2).
     spc = float(os.environ.get("WS_SPLITS_PER_CORE", "1"))
     mpb = min(max(int(total / max(cores * spc, 1)), 1 << 20), 128 << 20)
+    # Return the prior values so the caller can restore them: these are
+    # session-global confs sized to ONE corpus, and leaking 1MB splits into
+    # later unrelated scans in the same session explodes their task counts.
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    prev = {k: spark.conf.get(k) for k in keys}
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     spark.conf.set("spark.sql.files.openCostInBytes", str(max(min(mpb // 8, 4 << 20), 64 << 10)))
+    return prev
 
 
 def _wave_dir(ckpt_dir: str, wave: int) -> str:
@@ -242,7 +253,7 @@ def run_crawl(
     _ = hosts
 
     pages_slim = pages  # full table; Catalyst prunes columns per stage
-    tune_scan_splits(spark, pages)
+    prev_splits = tune_scan_splits(spark, pages)
 
     debug = os.environ.get("WS_DEBUG_TIMING", "0") == "1"
 
@@ -420,4 +431,9 @@ def run_crawl(
             futures = [pool.submit(f) for f in (_w_order, _w_seen, _w_metrics)]
             for fut in futures:
                 fut.result()
+    # Restore scan-split confs only now: the finalize scans above still read
+    # this corpus's wave files and want the tuned splits; anything after
+    # run_crawl is unrelated work that must not inherit them.
+    for k, v in (prev_splits or {}).items():
+        spark.conf.set(k, v)
     return paths
