@@ -169,6 +169,57 @@ def _measure_in_subprocess(cores: int, sf: float, max_waves: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int) -> dict:
+    """Interleaved paired scaling study: per rep, probe the hardware grant at
+    both widths, then run lo and hi back-to-back (adjacent-in-time runs share
+    a host window, so their ratio — pair_eff — is meaningful even when the
+    grant swings between reps). Headline = MEDIAN pair_eff; best-rate raw
+    efficiency and the hw-normalized value are reported alongside, with every
+    rep listed."""
+    ratio = n_hi / n_lo
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    per_rep = []
+    for _ in range(reps):
+        hw = {n: _hw_probe(n, 4.0) for n in (n_lo, n_hi)}
+        rec = {}
+        for cores in (n_lo, n_hi):
+            r = _measure_in_subprocess(cores, sf, max_waves)
+            r["hw_units"] = hw[cores]
+            runs[cores].append(r)
+            rec[cores] = r
+        per_rep.append({
+            f"hw_{n_lo}": hw[n_lo], f"hw_{n_hi}": hw[n_hi],
+            "hw_eff": round((hw[n_hi] / hw[n_lo]) / ratio, 3),
+            f"sec_{n_lo}": rec[n_lo]["sec"], f"sec_{n_hi}": rec[n_hi]["sec"],
+            "pair_eff": round((rec[n_lo]["sec"] / rec[n_hi]["sec"]) / ratio, 3),
+        })
+    results = {}
+    for cores in (n_lo, n_hi):
+        best = min(runs[cores], key=lambda r: r["sec"])
+        results[cores] = dict(best)
+        results[cores]["urls_per_sec"] = round(best["urls"] / best["sec"], 1)
+        results[cores]["all_secs"] = [r["sec"] for r in runs[cores]]
+    eff = (results[n_hi]["urls_per_sec"] / results[n_lo]["urls_per_sec"]) / ratio
+    hw_eff = _median([p["hw_eff"] for p in per_rep])
+    return {
+        "n_lo": n_lo, "n_hi": n_hi,
+        f"local{n_lo}": results[n_lo],
+        f"local{n_hi}": results[n_hi],
+        "per_rep": per_rep,
+        "pair_eff_median": _median([p["pair_eff"] for p in per_rep]),
+        "efficiency": round(eff, 3),
+        "efficiency_paired_best": max(p["pair_eff"] for p in per_rep),
+        "hw_efficiency": hw_eff,
+        "efficiency_normalized": round(eff / hw_eff, 3) if hw_eff > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -198,98 +249,76 @@ def main() -> None:
         "frontier_rank_per_host", "url_canonicalize", "cross_join_pricing_matrix",
         "sessionize_events", "exact_dedup_groups", "minhash_lsh_pairs",
         "quality_score", "langid_stopwords", "embedding_cosine_topk",
-        "embedding_lsh_ann", "embedding_ivf_ann", "simhash_pairs", "token_count",
+        "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
+        "simhash_pairs", "token_count",
     ]
-    # Min of two timed runs per query: single-shot numbers on this shared
-    # host swing 2-3x with neighbour load (see scaling notes), and the first
-    # run of a query also pays its codegen compile.
+    # Min over reps per query: single-shot numbers on this shared host swing
+    # 2-3x with neighbour load (see scaling notes), and the first run of a
+    # query also pays its codegen compile. The pandas-UDF-bound family gets
+    # min-of-3 (host noise hid a 3x regression behind min-of-2 once); all
+    # reps land in the JSON so regressions can't hide behind the min.
+    udf_bound = {
+        "minhash_lsh_pairs", "simhash_pairs", "embedding_cosine_topk",
+        "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
+    }
+    base_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     qtimes: dict[str, float] = {}
+    qreps: dict[str, list[float]] = {}
     for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):
+        reps_n = max(base_reps, 3) if name in udf_bound else base_reps
+        times = []
+        for _ in range(reps_n):
             t0 = time.time()
             _noop_write(qfns[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        qtimes[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        qreps[name] = times
+        qtimes[name] = min(times)
 
-    # --- scaling evidence: same job, N=8 vs 4N=32 cores --------------------
+    # --- scaling evidence: two interleaved paired studies -------------------
     scaling = {}
     if os.environ.get("BENCH_SKIP_SCALING", "0") != "1":
-        # Mandated pair (BASELINE.md): local[8] vs local[32]. Each
-        # measurement runs in a FRESH subprocess/JVM (in-process session
-        # reuse pollutes the JIT code cache), configs are interleaved so
-        # noise episodes on this shared host hit both equally, and the
-        # minimum over reps is the estimator (host CPU capacity fluctuates
-        # minute-to-minute with neighbor load; see hardware probe).
+        # (a) Mandated pair (BASELINE.md): local[8] vs local[32]. The 32-side
+        #     is oversubscribed whenever the shared host's ~21-core grant
+        #     dips, so the MEDIAN of per-rep interleaved pair efficiencies is
+        #     the headline estimator (>=5 reps; min-of-reps across batches is
+        #     what let best-vs-best curation creep in).
+        # (b) Within-grant pair: local[4] vs local[16] — with task.cpus=2
+        #     that is 2 vs 8 task slots (still a clean 4x) and at most 16
+        #     runnable threads, UNDER the measured grant, so oversubscription
+        #     physically cannot confound the result. This is the decisive
+        #     raw-efficiency number.
+        # Every measurement runs in a FRESH subprocess/JVM (in-process
+        # session reuse pollutes the JIT code cache); configs are interleaved
+        # so noise episodes hit both sides of a pair equally; a pure-Python
+        # hardware probe runs before every rep to timestamp the grant.
         #
         # The scaling corpus is LARGER than the headline sf (default 2.5):
-        # the crawl has a per-wave serial floor (~15 driver-side job
-        # launches) that at tiny sf dominates wall time and Amdahl-caps any
-        # measured speedup; at sf2.5 the parallel fetch+extract work is the
-        # bulk of the job, which is also the regime the 100TB target lives
-        # in.
+        # the crawl has a per-wave serial floor that at tiny sf dominates
+        # wall time and Amdahl-caps any measured speedup; at sf2.5 the
+        # parallel fetch+extract work is the bulk of the job, which is also
+        # the regime the 100TB target lives in.
         spark.stop()
-        n_lo, n_hi = 8, 32
         scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "2.5"))
-        reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
-
-        # Hardware-capacity probe: pure-Python CPU burners, zero Spark/JVM.
-        # This box advertises 32 vCPUs but delivers ~20-22 cores of real
-        # capacity (shared host) and the grant swings 2-3x on a minutes
-        # timescale, so even a perfectly-scaling engine cannot show 4.0x
-        # from 8->32 and any single wall-clock is window luck. The probe
-        # runs BEFORE EVERY REP so each measurement carries the capacity
-        # the silicon granted around it; efficiency is reported raw
-        # (min-of-reps), paired per-rep (adjacent-in-time runs share a
-        # window), and normalized by the median hardware ceiling.
         _ensure_corpus(scaling_sf)
-        runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        per_rep = []
-        for _ in range(reps):
-            hw = {n: _hw_probe(n, 4.0) for n in (n_lo, n_hi)}
-            rec = {}
-            for cores in (n_lo, n_hi):
-                r = _measure_in_subprocess(cores, scaling_sf, max_waves)
-                r["hw_units"] = hw[cores]
-                runs[cores].append(r)
-                rec[cores] = r
-            per_rep.append({
-                f"hw_{n_lo}": hw[n_lo], f"hw_{n_hi}": hw[n_hi],
-                "hw_eff": round((hw[n_hi] / hw[n_lo]) / (n_hi / n_lo), 3),
-                f"sec_{n_lo}": rec[n_lo]["sec"], f"sec_{n_hi}": rec[n_hi]["sec"],
-                "pair_eff": round((rec[n_lo]["sec"] / rec[n_hi]["sec"]) / (n_hi / n_lo), 3),
-            })
-        results = {}
-        for cores in (n_lo, n_hi):
-            best = min(runs[cores], key=lambda r: r["sec"])
-            results[cores] = dict(best)
-            results[cores]["urls_per_sec"] = round(best["urls"] / best["sec"], 1)
-            results[cores]["all_secs"] = [r["sec"] for r in runs[cores]]
-        eff = (results[n_hi]["urls_per_sec"] / results[n_lo]["urls_per_sec"]) / (n_hi / n_lo)
-        hw_effs = sorted(p["hw_eff"] for p in per_rep)
-        hw_eff = hw_effs[len(hw_effs) // 2]
-        scaling = {
-            f"local{n_lo}": results[n_lo],
-            f"local{n_hi}": results[n_hi],
-            "sf": scaling_sf,
-            "efficiency": round(eff, 3),
-            "per_rep": per_rep,
-            "efficiency_paired_best": max(p["pair_eff"] for p in per_rep),
-            "hw_efficiency": hw_eff,
-            "efficiency_normalized": round(eff / hw_eff, 3) if hw_eff > 0 else None,
-            # Single-run numbers are a lottery on this shared host (identical
-            # 32-core runs measured 82s..432s); the curated multi-day study
-            # with all reps + probe context lives in BENCH/BASELINE.md.
-            "curated_study": "BENCH/BASELINE.md: best local[32] 82.1s (58k URLs/s) vs "
-                             "local[8] 193.9s at sf2.5 -> raw 0.59, hw-normalized 0.80",
-        }
-        _write_last_run_md(scaling_sf, max_waves, results, scaling, n_lo, n_hi)
+        scaling = {"sf": scaling_sf}
+        studies = [(8, 32, int(os.environ.get("BENCH_SCALING_REPS", "5")), "mandated_8_32")]
+        if os.environ.get("BENCH_SKIP_WITHIN", "0") != "1":
+            studies.append((4, 16, int(os.environ.get("BENCH_WITHIN_REPS", "3")), "within_grant_4_16"))
+        for n_lo, n_hi, reps, label in studies:
+            scaling[label] = _paired_study(n_lo, n_hi, reps, scaling_sf, max_waves)
+        # Back-compat headline keys mirror the mandated study (do not relabel).
+        m = scaling["mandated_8_32"]
+        for k in ("efficiency", "pair_eff_median", "efficiency_paired_best",
+                  "hw_efficiency", "efficiency_normalized"):
+            scaling[k] = m[k]
+        _write_last_run_md(scaling_sf, max_waves, scaling)
 
     out = {
         "metric": "crawl_wave_e2e_seconds",
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_reps": qreps,
         "sf": sf,
         "urls_fetched": urls,
         "urls_per_sec": round(urls_per_sec, 1),
@@ -300,33 +329,22 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _write_last_run_md(sf: float, max_waves: int, results: dict, scaling: dict, n_lo: int, n_hi: int) -> None:
-    """Per-round snapshot — the curated scaling study lives in BENCH/BASELINE.md."""
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+def _study_md(title: str, st: dict, note: str) -> str:
+    n_lo, n_hi = st["n_lo"], st["n_hi"]
+    r_lo, r_hi = st[f"local{n_lo}"], st[f"local{n_hi}"]
     rep_rows = "\n".join(
         f"| {i} | {p[f'hw_{n_lo}']} | {p[f'hw_{n_hi}']} | {p['hw_eff']} "
         f"| {p[f'sec_{n_lo}']} | {p[f'sec_{n_hi}']} | {p['pair_eff']} |"
-        for i, p in enumerate(scaling["per_rep"])
+        for i, p in enumerate(st["per_rep"])
     )
-    with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
-        f.write(
-            f"""# BENCH — last bench.py scaling snapshot (see BASELINE.md for the curated study)
+    return f"""## {title}
 
-Job: full crawl (frontier -> anti-join seen -> robots -> rank/schedule ->
-fetch-join -> extract -> outlink expansion -> checkpoint), {max_waves} waves,
-synthetic corpus sf={sf} (seed-fixed), budget-unbound politeness (bench
-config — delays still scheduled, batch size uncapped so the job is
-compute-bound). Same job, same input, two parallelism levels, per
-BASELINE.md sandbox protocol (no real cluster in sandbox). Minimum over
-{len(results[n_lo]['all_secs'])} interleaved reps per config; a pure-Python
-hardware-capacity probe runs before every rep (this shared host advertises
-32 vCPUs, grants ~20-22 cores, and swings 2-3x on a minutes timescale —
-all reps listed so the window luck is visible).
+{note}
 
 | config | best (s) | all reps (s) | URLs fetched | URLs/s |
 |---|---|---|---|---|
-| local[{n_lo}]  (N)  | {results[n_lo]['sec']} | {results[n_lo]['all_secs']} | {results[n_lo]['urls']} | {results[n_lo]['urls_per_sec']} |
-| local[{n_hi}] (4N) | {results[n_hi]['sec']} | {results[n_hi]['all_secs']} | {results[n_hi]['urls']} | {results[n_hi]['urls_per_sec']} |
+| local[{n_lo}]  (N)  | {r_lo['sec']} | {r_lo['all_secs']} | {r_lo['urls']} | {r_lo['urls_per_sec']} |
+| local[{n_hi}] (4N) | {r_hi['sec']} | {r_hi['all_secs']} | {r_hi['urls']} | {r_hi['urls_per_sec']} |
 
 Per-rep detail (hw = burner units/s granted right before the rep's runs;
 pair_eff compares the two configs inside one time window):
@@ -335,22 +353,55 @@ pair_eff compares the two configs inside one time window):
 |---|---|---|---|---|---|---|
 {rep_rows}
 
-**Raw scaling efficiency (best-rate_{n_hi} / best-rate_{n_lo}) / {n_hi // n_lo} = {scaling['efficiency']:.3f}**
-(north-rule target >= 0.8); best within-window paired efficiency =
-**{scaling['efficiency_paired_best']:.3f}**.
-
-Hardware ceiling: median per-rep burner scaling {n_lo}->{n_hi} procs =
-**{scaling['hw_efficiency']:.3f} efficiency** — a perfectly-scaling engine cannot
-exceed this on this box.
-
-**Hardware-normalized efficiency = raw / ceiling = {scaling['efficiency_normalized']}**.
-
-Reference comparison: the Ruby scraper's hard ceiling is <= 1 URL/s
-(sequential Selenium with mandatory sleeps —
-/root/reference/app/controllers/car_dealers_controller.rb:156); this engine
-fetches+extracts {results[n_hi]['urls_per_sec']} URLs/s at local[{n_hi}].
+**Median interleaved pair efficiency = {st['pair_eff_median']:.3f}** (headline
+estimator — each pair's two runs share a host window). Raw best-rate
+efficiency = {st['efficiency']:.3f}; best pair = {st['efficiency_paired_best']:.3f};
+median hardware ceiling {n_lo}->{n_hi} procs = {st['hw_efficiency']:.3f};
+hw-normalized raw = {st['efficiency_normalized']}.
 """
-        )
+
+
+def _write_last_run_md(sf: float, max_waves: int, scaling: dict) -> None:
+    """Per-round snapshot — the curated cross-round history lives in
+    BENCH/BASELINE.md."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    parts = [f"""# BENCH — last bench.py scaling snapshot (see BASELINE.md for the curated study)
+
+Job: full crawl (frontier -> anti-join seen -> robots -> rank/schedule ->
+fetch-join -> extract -> outlink expansion -> checkpoint), {max_waves} waves,
+synthetic corpus sf={sf} (seed-fixed), budget-unbound politeness (bench
+config — delays still scheduled, batch size uncapped so the job is
+compute-bound). Same job, same input, two parallelism levels per study, per
+BASELINE.md sandbox protocol (no real cluster in sandbox). Configs are
+interleaved within each rep; a pure-Python hardware-capacity probe runs
+before every rep (this shared host advertises 32 vCPUs, grants ~20-22
+cores, and swings 2-3x on a minutes timescale — all reps listed so the
+window luck is visible). task.cpus=2, so task slots are cores/2 on both
+sides of every pair (the 4x slot ratio is preserved).
+"""]
+    if "mandated_8_32" in scaling:
+        parts.append(_study_md(
+            "Mandated pair: local[8] vs local[32] (BASELINE.md protocol)",
+            scaling["mandated_8_32"],
+            "32 runnable threads oversubscribe the ~21-core grant whenever it "
+            "dips, so pair_eff varies with the window; the median over "
+            "interleaved pairs is the honest estimator.",
+        ))
+    if "within_grant_4_16" in scaling:
+        parts.append(_study_md(
+            "Within-grant pair: local[4] vs local[16] (2 vs 8 task slots)",
+            scaling["within_grant_4_16"],
+            "At most 16 runnable threads — UNDER the measured host grant on "
+            "both sides, so hypervisor oversubscription cannot confound this "
+            "pair. This is the decisive raw scaling number for the engine "
+            "itself.",
+        ))
+    parts.append("""Reference comparison: the Ruby scraper's hard ceiling is <= 1 URL/s
+(sequential Selenium with mandatory sleeps —
+/root/reference/app/controllers/car_dealers_controller.rb:156).
+""")
+    with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
+        f.write("\n".join(parts))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,23 @@ def test_nullable_fields_present_and_absent(spark, corpus_dir):
         assert 0 < n_null < 0.2 * n_tot, f"{col}: {n_null}/{n_tot}"
 
 
+def test_dealer_rating_extraction(spark, corpus_dir):
+    """Rating block is host-level: both fields null together (~25% of hosts,
+    the reference's has_css? guard) and rating parses as 3.0-4.9."""
+    ex = _extracted(spark, corpus_dir).filter(F.col("x_status") == "ok")
+    n_tot = ex.count()
+    n_null = ex.filter(F.col("x_dealer_rating").isNull()).count()
+    assert 0 < n_null < n_tot
+    assert ex.filter(
+        F.col("x_dealer_rating").isNull() != F.col("x_quantity_ratings").isNull()
+    ).count() == 0
+    vals = ex.filter(F.col("x_dealer_rating").isNotNull()).select(
+        F.col("x_dealer_rating").cast("double").alias("r"), "x_quantity_ratings"
+    )
+    assert vals.filter((F.col("r") < 3.0) | (F.col("r") > 4.9)).count() == 0
+    assert vals.filter(~F.col("x_quantity_ratings").rlike(r"^\(\d+\)$")).count() == 0
+
+
 def test_reference_regex_semantics(spark):
     """Spot-check Ruby regex reproductions against hand-derived values
     (reference car_dealers_controller.rb:166-172, cars_controller.rb:239-242)."""

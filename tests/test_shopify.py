@@ -106,7 +106,7 @@ def test_search_sheet_image8_twice(spark):
     )
     for c in ("x_price_cell x_damage x_category x_country x_consumption x_km_cell x_power_cell "
               "x_fuel x_co2 x_transmission x_ez x_dealer_name x_postal_code x_dealer_city "
-              "x_dealer_street x_phone x_pubdate").split():
+              "x_dealer_street x_phone x_dealer_rating x_quantity_ratings x_pubdate").split():
         df = df.withColumn(c, F.lit(None).cast("string"))
     df = df.withColumn("x_attr_map", F.lit(None).cast("map<string,string>"))
     df = df.withColumn("x_features", F.lit(None).cast("array<string>"))

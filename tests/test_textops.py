@@ -297,6 +297,47 @@ def test_ivf_ann_recall_self_and_codebook(spark, emb):
     assert all(r.c is None for r in got)
 
 
+def test_ivf_trained_codebook_beats_sample(spark):
+    """train_centroids_kmeans (deterministic Lloyd's over the h60 sample)
+    must beat the plain h60-sample codebook on recall for diffuse clustered
+    data at n_probe=1 — boundary points split across arbitrary sample
+    centroids, while trained centroids sit at cluster means. Everything is
+    seed-free, so the margin is a fixed number, not a statistical one."""
+    import math
+
+    from webscraper_spark.operators.simsearch import ivf_topk, train_centroids_kmeans
+
+    n, dim, ncl, noise_scale, n_cells = 400, 16, 8, 0.7, 8
+    rows = []
+    for i in range(n):
+        c = i % ncl
+        base = [math.sin(0.1 * (c + 1) * (j + 1)) for j in range(dim)]
+        noise = [((i * 2654435761 + j * 40503) % 1000) / 500.0 - 1.0 for j in range(dim)]
+        rows.append((i, [float(b + noise_scale * w) for b, w in zip(base, noise)]))
+    emb16 = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    base_df = emb16.select("vec_id", F.col("embedding").alias("vec"))
+    queries = emb16.limit(24).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(emb16, queries, k=10).collect()
+
+    def recall(codebook):
+        ann = ivf_topk(emb16, queries, k=10, n_cells=n_cells, n_probe=1, codebook=codebook).collect()
+        recs = []
+        for qid in {r.q_id for r in brute}:
+            b = {r.vec_id for r in brute if r.q_id == qid}
+            a = {r.vec_id for r in ann if r.q_id == qid}
+            recs.append(len(a & b) / len(b))
+        return sum(recs) / len(recs)
+
+    cb = train_centroids_kmeans(base_df, n_cells=n_cells, id_col="vec_id", vec_col="vec")
+    r_trained, r_sample = recall(cb), recall(None)
+    assert r_trained >= 0.95, r_trained
+    assert r_trained > r_sample + 0.03, (r_trained, r_sample)
+    # retraining yields the identical codebook (h60-ordered sample + fixed
+    # iterations + first-max ties: no RNG anywhere)
+    cb2 = train_centroids_kmeans(base_df, n_cells=n_cells, id_col="vec_id", vec_col="vec")
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     """Planted near-copies (first component +0.05) are recovered as near-dup
     pairs by the LSH-bucketed path; the raw corpus (max pairwise cosine

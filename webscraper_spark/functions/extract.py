@@ -151,6 +151,17 @@ def x_phone(h: Column) -> Column:
     return F.regexp_replace(raw, r"^Tel\.: ", "")
 
 
+def x_dealer_rating(h: Column) -> Column:
+    """Star-span data-rating attribute (reference cars_controller.rb:243-244
+    reads ['data-rating'] behind a has_css? guard -> nullable)."""
+    return _re1(h, r'data-rating="([^"]+)"')
+
+
+def x_quantity_ratings(h: Column) -> Column:
+    """amount-of-ratings span text (reference cars_controller.rb:245)."""
+    return _re1(h, r'<span class="amount-of-ratings">([^<]*)</span>')
+
+
 def x_pubdate(h: Column) -> Column:
     """Ruby: .match(/\\d{2}.\\d{2}.\\d{4}/) (cars_controller.rb:249, F6)."""
     return _re1(h, r"Online seit (\d{2}.\d{2}.\d{4})")
@@ -201,6 +212,8 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn("x_dealer_city", x_city(addr))
         .withColumn("x_dealer_street", x_street(addr))
         .withColumn("x_phone", x_phone(h))
+        .withColumn("x_dealer_rating", x_dealer_rating(h))
+        .withColumn("x_quantity_ratings", x_quantity_ratings(h))
         .withColumn("x_pubdate", x_pubdate(h))
         .withColumn("x_outlinks", x_outlinks(h))
         .withColumn("x_outlinks_canon", F.transform(F.col("x_outlinks"), canonicalize_url))
@@ -246,6 +259,8 @@ def extracted_text() -> Column:
         F.col("x_pubdate"),
         F.array_join(F.col("x_features"), ";"),
         F.size(F.col("x_images")).cast("string"),
+        F.coalesce(F.col("x_dealer_rating"), z),
+        F.coalesce(F.col("x_quantity_ratings"), z),
     )
 
 

@@ -47,6 +47,8 @@ X_STRUCT = T.StructType(
         T.StructField("x_dealer_city", _S()),
         T.StructField("x_dealer_street", _S()),
         T.StructField("x_phone", _S()),
+        T.StructField("x_dealer_rating", _S()),
+        T.StructField("x_quantity_ratings", _S()),
         T.StructField("x_pubdate", _S()),
         T.StructField("x_outlinks", T.ArrayType(_S())),
         # canonical form + host per outlink, computed IN the same UDF pass:
@@ -84,6 +86,8 @@ _P = {
     "street": re.compile(r"(^\D*\d*\w(?:-|,)?\w*)"),
     "phone": re.compile(r'<span class="phone">([^<]*)</span>'),
     "phone_strip": re.compile(r"^Tel\.: "),
+    "rating": re.compile(r'data-rating="([^"]+)"'),
+    "n_ratings": re.compile(r'<span class="amount-of-ratings">([^<]*)</span>'),
     "pubdate": re.compile(r"Online seit (\d{2}.\d{2}.\d{4})"),
     "href": re.compile(r'href="([^"]+)"'),
 }
@@ -142,6 +146,8 @@ def extract_all_udf(html_s: pd.Series) -> pd.DataFrame:
             "x_dealer_street": _x1(addr, _P["street"]),
             # Ruby sub: FIRST occurrence only (cars_controller.rb:242)
             "x_phone": phone_raw.str.replace(_P["phone_strip"], "", regex=True),
+            "x_dealer_rating": _x1(h, _P["rating"]),
+            "x_quantity_ratings": _x1(h, _P["n_ratings"]),
             "x_pubdate": _x1(h, _P["pubdate"]),
             "x_outlinks": outlinks,
             "x_outlinks_canon": canon_urls,

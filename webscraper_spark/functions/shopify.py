@@ -224,8 +224,10 @@ def search_sheet(results: DataFrame) -> DataFrame:
         F.col("x_dealer_city").alias("dealer_city"),
         F.col("x_dealer_street").alias("dealer_address"),
         F.col("x_phone").alias("dealer_phone"),
-        F.lit(None).cast("string").alias("dealer_rating"),
-        F.lit(None).cast("string").alias("dealer_quantity_ratings"),
+        # star-span data-rating attr + amount-of-ratings text; NULL where the
+        # page has no rating block (reference has_css? guard, :243-245)
+        F.col("x_dealer_rating").alias("dealer_rating"),
+        F.col("x_quantity_ratings").alias("dealer_quantity_ratings"),
         F.col("x_pubdate").alias("publishing_date"),
     ]
     return results.select(*cols)

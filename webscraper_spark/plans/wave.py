@@ -51,7 +51,8 @@ RESULT_COLS = [
     "x_category", "x_transmission", "x_ez", "x_consumption", "x_co2",
     "x_damage", "x_country", "x_attr_map", "x_features", "x_images",
     "x_dealer_name", "x_address_raw", "x_postal_code", "x_dealer_city",
-    "x_dealer_street", "x_phone", "x_pubdate", "x_status", "extracted_text",
+    "x_dealer_street", "x_phone", "x_dealer_rating", "x_quantity_ratings",
+    "x_pubdate", "x_status", "extracted_text",
     "lang", "warc_ts",
 ]
 
@@ -234,12 +235,15 @@ def run_crawl(
     if completed:
         start_wave = max(completed) + 1
         frontier = spark.read.parquet(os.path.join(_wave_dir(ckpt_dir, max(completed)), "frontier"))
+        # frontier row count for free from the checkpoint's parquet footers
+        n_frontier = _parquet_rows(os.path.join(_wave_dir(ckpt_dir, max(completed)), "frontier"))
         seen = spark.read.parquet(*[os.path.join(_wave_dir(ckpt_dir, w), "fetched") for w in completed]).select(
             url_hash(F.col("url")).alias("url_hash"), "url", F.col("wave").cast("int").alias("wave")
         )
     else:
         start_wave = 0
         frontier = seeds_to_frontier(seeds)
+        n_frontier = frontier.count()  # seed-table-sized job, milliseconds
         seen = spark.createDataFrame([], "url_hash long, url string, wave int")
 
     hosts = pages.sparkSession.createDataFrame(
@@ -275,6 +279,11 @@ def run_crawl(
         return t1
 
     for wave in range(start_wave, cfg.max_waves):
+        # Empty frontier = crawl done, known from parquet footers (or the
+        # seed count) with ZERO Spark jobs — the former explicit
+        # count-the-schedule job cost a full per-wave driver barrier.
+        if n_frontier == 0:
+            break
         wdir = _wave_dir(ckpt_dir, wave)
         os.makedirs(wdir, exist_ok=True)
         tw = time.time()
@@ -293,23 +302,24 @@ def run_crawl(
         # miss anti-join, frontier merge). In-memory persist, NOT a parquet
         # barrier — the schedule is recomputable from the frontier
         # checkpoint, so durability buys nothing and the write+read barrier
-        # was a measured per-wave serial cost.
+        # was a measured per-wave serial cost. NO count barrier either: the
+        # fetch job below is the first (and only) materializer, so schedule
+        # work pipelines into the fetch stage instead of running as its own
+        # driver-blocking job first (a measured ~5s/wave serial floor).
         sched = schedule_ranked(cand, budgets, wave).persist()
-        counts = {r["in_budget"]: r["n"] for r in sched.groupBy("in_budget").agg(F.count("*").alias("n")).collect()}
-        n_batch = counts.get(True, 0)
         batch = sched.filter(F.col("in_budget"))
         deferred = sched.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
-        if n_batch == 0:
-            sched.unpersist()
-            break
-        tw = _tick(f'w{wave} schedule+persist', tw)
 
         # 4. fetch = join against the pages corpus on canonical url.
         # The batch is ALWAYS the broadcast side — never let Catalyst
         # broadcast the corpus (at 10^10 rows the corpus is only ever
         # scanned; the batch hash table streams past it). Misses are
         # recovered with a cheap anti-join on the small batch.
-        small_batch = n_batch <= cfg.broadcast_batch_threshold
+        # Broadcastability is decided from the frontier row count (a free
+        # upper bound on the batch — footers/seed count, no job): a frontier
+        # too big to bound the batch flips to the shuffled-hash path, which
+        # is the safe choice at that scale anyway.
+        small_batch = n_frontier <= cfg.broadcast_batch_threshold
         batch_side = F.broadcast(batch) if small_batch else batch.hint("SHUFFLE_HASH")
         hits = pages_slim.join(batch_side, "url", "inner").withColumn("fetch_status", F.lit("ok"))
         misses = (
@@ -348,6 +358,12 @@ def run_crawl(
         # 564 task-seconds for 529MB at sf0.4. Scan-split-count output files
         # are the cheaper evil; finalize reads them once.)
         fetched.write.mode("overwrite").parquet(os.path.join(wdir, "fetched"))
+        # Batch size read back from the write's parquet footers (zero jobs):
+        # 0 means every frontier row was seen/robots-filtered — crawl done.
+        if _parquet_rows(os.path.join(wdir, "fetched")) == 0:
+            sched.unpersist()
+            shutil.rmtree(wdir, ignore_errors=True)
+            break
         fetched = spark.read.parquet(os.path.join(wdir, "fetched"))
         tw = _tick(f'w{wave} fetch+extract+write', tw)
 
@@ -372,6 +388,7 @@ def run_crawl(
         _write_manifest(ckpt_dir, completed)
 
         frontier = spark.read.parquet(os.path.join(wdir, "frontier"))
+        n_frontier = _parquet_rows(os.path.join(wdir, "frontier"))
         seen = seen.unionByName(seen_delta)
 
     budgets.unpersist()

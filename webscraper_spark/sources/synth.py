@@ -160,6 +160,16 @@ def _details_base(spark: SparkSession, p: CorpusParams) -> DataFrame:
         .withColumn("plz", F.format_string("%05d", (F.lit(10000) + F.pmod(h * 523, F.lit(89999))).cast("int")))
         .withColumn("city", _pick(CITIES, F.pmod(h, F.lit(len(CITIES)))))
         .withColumn("phone", F.concat(F.lit("+49 30 "), (F.lit(1000000) + h * 97)))
+        # Dealer rating block (reference cars_controller.rb:243-245 reads the
+        # star-span's data-rating attr + the amount-of-ratings text behind a
+        # has_css? guard) — ~25% of hosts have no ratings at all (nullable).
+        .withColumn("has_rating", F.pmod(h, F.lit(4)) != 3)
+        .withColumn(
+            "rating",
+            F.format_string("%d.%d", (F.lit(3) + F.pmod(h * 7, F.lit(2))).cast("int"),
+                            F.pmod(h * 13, F.lit(10)).cast("int")),
+        )
+        .withColumn("n_ratings", (F.lit(3) + F.pmod(h * 41, F.lit(480))).cast("long"))
     )
 
     # Nullable-field variants (~10% each) and malformed pages (~2%).
@@ -184,7 +194,7 @@ def _details_base(spark: SparkSession, p: CorpusParams) -> DataFrame:
     return df
 
 
-# Cell layout of the ground-truth `text` (22 pipe-joined cells). The engine's
+# Cell layout of the ground-truth `text` (24 pipe-joined cells). The engine's
 # extractor must rebuild these bytes from `html` alone (input_hint invariant).
 def _detail_text(df: DataFrame):
     z = F.lit("")
@@ -212,6 +222,8 @@ def _detail_text(df: DataFrame):
         F.col("pubdate"),
         F.array_join(F.col("features"), ";"),
         F.col("n_images").cast("string"),
+        F.when(F.col("has_rating"), F.col("rating")).otherwise(z),
+        F.when(F.col("has_rating"), F.format_string("(%d)", F.col("n_ratings").cast("int"))).otherwise(z),
     )
 
 
@@ -267,6 +279,14 @@ def _detail_html(df: DataFrame):
         F.lit("<address><strong>"), F.col("dealer_name"), F.lit('</strong><div class="addressData">'),
         F.col("street"), F.lit(", "), F.col("plz"), F.lit(" "), F.col("city"), F.lit("</div></address>"),
         F.lit('<span class="phone">Tel.: '), F.col("phone"), F.lit("</span>"),
+        F.when(
+            F.col("has_rating"),
+            F.format_string(
+                '<span class="star-rating" data-rating="%s"></span>'
+                '<span class="amount-of-ratings">(%s)</span>',
+                F.col("rating"), F.col("n_ratings"),
+            ),
+        ).otherwise(F.lit("")),
         F.lit('<span class="onlineSince">Online seit '), F.col("pubdate"), F.lit("</span>"),
         F.lit('<ul class="related">'), rel, F.lit("</ul>"),
         F.lit("</body></html>"),
