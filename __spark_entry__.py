@@ -807,6 +807,108 @@ FROM kept
 """
 
 
+def _q_search_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 48-column cars-pipeline search sheet (reference
+    cars_controller.rb:263-315) over deterministic extraction-shaped rows:
+    attr-map lookups (absent keys -> NULL), the image_8-written-twice quirk,
+    1-based gallery slots without hi-res rewrite, and the nullable
+    dealer_rating / dealer_quantity_ratings passthrough."""
+    from webscraper_spark.functions.shopify import search_sheet
+
+    cars = _cars_from_lineitem(spark, sf_dir)
+    ck = F.col("car_key").cast("string")
+    df = (
+        cars.withColumn("url", F.concat(F.lit("https://d.example/ad/"), ck))
+        .withColumn("x_title", F.concat(F.lit("Car Modell "), ck))
+        .withColumn("x_price_cell", F.concat(F.col("price_i").cast("string"), F.lit(" €")))
+        .withColumn("x_damage", F.when(F.pmod("car_key", F.lit(10)) == 0,
+                                       F.lit(None).cast("string")).otherwise(F.lit("Unfallfrei")))
+        .withColumn("x_category", F.lit("SUV"))
+        .withColumn("x_country", F.lit("Deutsche Ausführung"))
+        .withColumn("x_consumption", F.lit("5,6 l/100km (komb.)"))
+        .withColumn("x_km_cell", F.concat(F.col("hub_i").cast("string"), F.lit(" km")))
+        .withColumn("x_power_cell", F.format_string("%d PS", F.col("ps_i").cast("int")))
+        .withColumn("x_co2", F.format_string("%d g/km (komb.)", F.col("co2_i").cast("int")))
+        .withColumn("x_transmission", F.when(F.pmod("car_key", F.lit(2)) == 0, "Automatik")
+                    .otherwise("Schaltgetriebe"))
+        .withColumn("x_ez", F.format_string("%02d/%d", (F.pmod("car_key", F.lit(12)) + 1).cast("int"),
+                                            (F.lit(2005) + F.pmod("car_key", F.lit(16))).cast("int")))
+        .withColumn("x_attr_map", F.create_map(
+            F.lit("Hubraum"), F.concat(F.col("hub_i").cast("string"), F.lit(" cm³")),
+            F.lit("Anzahl der Türen"), (F.pmod("car_key", F.lit(3)) + 3).cast("string"),
+            F.lit("Farbe"), F.when(F.col("x_fuel") == "Diesel", "Schwarz").otherwise("Blau"),
+        ))
+        .withColumn("x_images", _synth_gallery(F.pmod("car_key", F.lit(24)).cast("int")))
+        .withColumn("x_features", F.array(F.lit("Klimaanlage"), F.lit("Sitzheizung")))
+        .withColumn("x_dealer_name", F.concat(F.lit("Dealer "), ck))
+        .withColumn("x_postal_code", F.lit("10115"))
+        .withColumn("x_dealer_city", F.lit("Berlin"))
+        .withColumn("x_dealer_street", F.lit("Musterstr. 1"))
+        .withColumn("x_phone", F.concat(F.lit("+49 30 "), ck))
+        .withColumn("x_dealer_rating", F.when(F.pmod("car_key", F.lit(4)) == 3,
+                                              F.lit(None).cast("string"))
+                    .otherwise(F.format_string("%d.%d", (F.lit(3) + F.pmod("car_key", F.lit(2))).cast("int"),
+                                               F.pmod("car_key", F.lit(10)).cast("int"))))
+        .withColumn("x_quantity_ratings", F.when(F.pmod("car_key", F.lit(4)) == 3,
+                                                 F.lit(None).cast("string"))
+                    .otherwise(F.format_string("(%d)", F.pmod("car_key", F.lit(480)).cast("int"))))
+        .withColumn("x_pubdate", F.lit("06.08.2020"))
+    )
+    return search_sheet(df).withColumn("car_key", F.col("ad_link").substr(F.lit(22), F.lit(20)).cast("long"))
+
+
+def _sql_search_sheet() -> str:
+    img = lambda e: (f"CASE WHEN car_key % 24 >= {e} THEN "
+                     f"'https://img.example.de/' || car_key || '/' || {e} || '/$_27.jpg' END")
+    slots = [1, 2, 3, 4, 5, 6, 7, 8, 8, 10, 11, 12]  # image_8 written twice (:300-301)
+    img_cols = ",\n  ".join(f"{img(e)} AS image_{j}" for j, e in enumerate(slots, start=1))
+    return f"""
+WITH cars AS ({_SQL_CARS})
+SELECT
+  'https://d.example/ad/' || car_key AS ad_link,
+  'Car Modell ' || car_key AS title,
+  price_i || ' €' AS price,
+  CASE WHEN car_key % 10 = 0 THEN NULL ELSE 'Unfallfrei' END AS damage_condition,
+  'SUV' AS category,
+  'Deutsche Ausführung' AS country_version,
+  '5,6 l/100km (komb.)' AS consumption,
+  hub_i || ' km' AS mileage,
+  hub_i || ' cm³' AS cubic_capacity,
+  ps_i || ' PS' AS power,
+  x_fuel AS fuel,
+  co2_i || ' g/km (komb.)' AS emission,
+  CAST(NULL AS VARCHAR) AS num_owners,
+  CAST(NULL AS VARCHAR) AS num_seats,
+  CAST(car_key % 3 + 3 AS VARCHAR) AS door_count,
+  CASE WHEN car_key % 2 = 0 THEN 'Automatik' ELSE 'Schaltgetriebe' END AS transmission,
+  CAST(NULL AS VARCHAR) AS emission_class,
+  CAST(NULL AS VARCHAR) AS emssion_sticker,
+  printf('%02d/%d', CAST(car_key % 12 + 1 AS INTEGER), CAST(2005 + car_key % 16 AS INTEGER)) AS first_registration,
+  CAST(NULL AS VARCHAR) AS hu,
+  CAST(NULL AS VARCHAR) AS climatisation,
+  CAST(NULL AS VARCHAR) AS construction_year,
+  CAST(NULL AS VARCHAR) AS park_assist,
+  CAST(NULL AS VARCHAR) AS airbag,
+  CAST(NULL AS VARCHAR) AS manufacturer_color_name,
+  CASE WHEN x_fuel = 'Diesel' THEN 'Schwarz' ELSE 'Blau' END AS color,
+  CAST(NULL AS VARCHAR) AS interior,
+  {img_cols},
+  'Klimaanlage' || chr(10) || 'Sitzheizung' AS features,
+  'Dealer ' || car_key AS dealer_name,
+  '10115' AS dealer_postal_code,
+  'Berlin' AS dealer_city,
+  'Musterstr. 1' AS dealer_address,
+  '+49 30 ' || car_key AS dealer_phone,
+  CASE WHEN car_key % 4 = 3 THEN NULL
+       ELSE printf('%d.%d', CAST(3 + car_key % 2 AS INTEGER), CAST(car_key % 10 AS INTEGER)) END AS dealer_rating,
+  CASE WHEN car_key % 4 = 3 THEN NULL
+       ELSE printf('(%d)', CAST(car_key % 480 AS INTEGER)) END AS dealer_quantity_ratings,
+  '06.08.2020' AS publishing_date,
+  car_key
+FROM cars
+"""
+
+
 # --- hash-pipeline queries: oracled via DuckDB reimplementation -------------
 #
 # The dedup/fingerprint family hashes with h60 (15-hex-char md5 prefix,
@@ -1406,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_explode_counts": _q_variant_explode_counts,
         "image_rewrite": _q_image_rewrite,
         "shopify_sheet": _q_shopify_sheet,
+        "search_sheet": _q_search_sheet,
         "regex_extract_fields": _q_regex_extract,
         "digit_strip_cast": _q_digit_strip,
         "binning_tags": _q_binning_tags,
@@ -1448,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_explode_counts": _SQL_VARIANT_COUNTS,
         "image_rewrite": _SQL_IMAGE_REWRITE,
         "shopify_sheet": _sql_shopify_sheet(),
+        "search_sheet": _sql_search_sheet(),
         "regex_extract_fields": _SQL_REGEX_EXTRACT,
         "digit_strip_cast": _SQL_DIGIT_STRIP,
         "binning_tags": _SQL_BINNING,
