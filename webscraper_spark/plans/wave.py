@@ -301,12 +301,23 @@ def run_crawl(
         # would otherwise be re-executed by every consumer (broadcast build,
         # miss anti-join, frontier merge). In-memory persist, NOT a parquet
         # barrier — the schedule is recomputable from the frontier
-        # checkpoint, so durability buys nothing and the write+read barrier
-        # was a measured per-wave serial cost. NO count barrier either: the
-        # fetch job below is the first (and only) materializer, so schedule
-        # work pipelines into the fetch stage instead of running as its own
-        # driver-blocking job first (a measured ~5s/wave serial floor).
+        # checkpoint, so durability buys nothing.
+        #
+        # The count() materializes the cache BEFORE the fetch job is
+        # submitted. It looks like a removable serial barrier (and a prior
+        # iteration removed it), but without it the fetch job's concurrent
+        # subtrees — the broadcast-build future for the batch side and the
+        # miss anti-join's shuffle stage — both pull on the COLD cache at
+        # once and duplicate/serialize the whole schedule computation:
+        # measured 115.2s -> 61.9s for the sf0.4 crawl at local[8]
+        # (same-window A/B, both probes healthy). The barrier job costs
+        # ~1-2s/wave, which tiny corpora notice (sf0.1 headline pays ~3s)
+        # but anything at scale earns back many times over — at 10^10 rows
+        # a duplicated schedule recompute is catastrophic, a count job is
+        # epsilon. WS_SCHED_BARRIER=0 restores the race for A/B.
         sched = schedule_ranked(cand, budgets, wave).persist()
+        if os.environ.get("WS_SCHED_BARRIER", "1") == "1":
+            sched.count()
         batch = sched.filter(F.col("in_budget"))
         deferred = sched.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
 
