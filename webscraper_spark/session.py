@@ -51,7 +51,14 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow everywhere Python touches data.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("WS_ARROW_BATCH", "4096"))
+        # 1024-row Arrow batches: at ~3KB/page a batch is ~3MB — resident in
+        # LLC while ~40 regex passes sweep it. 4096-row batches (~12MB)
+        # thrash the cache and hammer the (shared, saturating) memory bus:
+        # measured on the sf0.4 crawl, local[8]: 50.4s @4096 -> 42.8s @1024;
+        # 512 (45.4s) and 16384 (52.1s) are both worse. Batch size is a
+        # per-core-cache constant, not a data-scale knob — 1024 holds at
+        # 100TB too.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("WS_ARROW_BATCH", "1024"))
         # Deterministic timestamps for oracle comparison (duckdb is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Local mode: the driver is the only JVM; give it the memory.
