@@ -1,0 +1,79 @@
+"""Co-tenancy scale-out study: k independent local[n] crawls vs one local[k*n].
+
+Answers "is the single-JVM engine the scaling limiter, or the host?" by
+running the SAME crawl job (a) as one Spark job at k*n threads and (b) as k
+fully independent JVM processes at n threads each — the sandbox's closest
+physical analog of k separate executors, with no shared JVM, no shared
+driver, no cross-process shuffle. If (b) aggregates no more throughput than
+(a), the host — not the engine — is the wall at that width.
+
+Round-3 measurements (sf0.4, 3 waves, same host window per comparison):
+
+  posture task.cpus=2, Arrow 4096, /tmp shuffle (round-2 shipped):
+    1x local[2]  solo:        118.0 s  (6.4k URLs/s)
+    4x local[2]  concurrent:  ~146 s each -> 20.8k URLs/s aggregate
+    1x local[8]  single job:   50.4 s  -> 15.1k URLs/s
+    => independent processes beat the single JVM 1.38x: engine-internal
+       cost existed (task-count inflation + shared-JVM contention).
+
+  posture task.cpus=1, Arrow 1024, /dev/shm shuffle (round-3 tuned):
+    1x local[2]  solo:         65.8 s  (11.5k URLs/s)
+    4x local[2]  concurrent:  ~173 s each -> 17.6k URLs/s aggregate
+    1x local[8]  single job:   32.9 s  -> 23.1k URLs/s
+    => the single-JVM job now EXCEEDS independent-process scale-out; the
+       host saturates at ~23k URLs/s for this workload at ~8-16 hot
+       threads however the threads are organized (see _membw_probe in
+       bench.py: the memory controller saturates at ~8 streams and
+       regresses at 16).
+
+Usage:
+    python3 tools/cotenancy_study.py [k] [n] [sf]   # default 4 2 0.4
+Prints per-process seconds and the aggregate URLs/s, then runs the single
+local[k*n] job for the same-window comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf = float(sys.argv[3]) if len(sys.argv) > 3 else 0.4
+    bench = os.path.join(REPO, "bench.py")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    t0 = time.time()
+    procs = [
+        subprocess.Popen([sys.executable, bench, "--crawl-job", str(n), str(sf), "3"],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
+        for _ in range(k)
+    ]
+    results = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+    window = time.time() - t0
+    urls = sum(r["urls"] for r in results)
+    secs = [r["sec"] for r in results]
+    print(json.dumps({
+        "mode": f"{k}x local[{n}] independent", "per_proc_sec": secs,
+        "window_sec": round(window, 1),
+        "aggregate_urls_per_sec": round(urls / max(secs), 1),
+    }))
+
+    out = subprocess.run([sys.executable, bench, "--crawl-job", str(k * n), str(sf), "3"],
+                         capture_output=True, text=True, env=env)
+    single = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps({
+        "mode": f"1x local[{k * n}] single job", "sec": single["sec"],
+        "urls_per_sec": round(single["urls"] / single["sec"], 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
