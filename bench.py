@@ -204,13 +204,23 @@ def _ensure_corpus(sf: float) -> None:
 
 
 def _measure_in_subprocess(cores: int, sf: float, max_waves: int) -> dict:
+    """One measurement in a fresh JVM; retries once on a transient subprocess
+    death (a flaky worker/OOM kill must cost one rep, not the whole
+    multi-hour protocol — a round-3 run lost 90 minutes to check=True)."""
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-job", str(cores), str(sf), str(max_waves)],
-        capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = ""
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-job", str(cores), str(sf), str(max_waves)],
+            capture_output=True, text=True,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-2000:]
+        print(f"[bench] crawl-job cores={cores} attempt {attempt} failed "
+              f"(rc={out.returncode}); stderr tail:\n{last_err}", file=sys.stderr)
+    raise RuntimeError(f"crawl-job cores={cores} failed twice; last stderr tail: {last_err}")
 
 
 def _median(xs: list[float]) -> float:
