@@ -16,7 +16,7 @@ Round-3 measurements (sf0.4, 3 waves, same host window per comparison):
     => independent processes beat the single JVM 1.38x: engine-internal
        cost existed (task-count inflation + shared-JVM contention).
 
-  posture task.cpus=1, Arrow 1024, /dev/shm shuffle (round-3 tuned):
+  posture task.cpus=1 (WS_TASK_CPUS=1), Arrow 1024, /dev/shm shuffle:
     1x local[2]  solo:         65.8 s  (11.5k URLs/s)
     4x local[2]  concurrent:  ~173 s each -> 17.6k URLs/s aggregate
     1x local[8]  single job:   32.9 s  -> 23.1k URLs/s
@@ -25,6 +25,12 @@ Round-3 measurements (sf0.4, 3 waves, same host window per comparison):
        threads however the threads are organized (see _membw_probe in
        bench.py: the memory controller saturates at ~8 streams and
        regresses at 16).
+
+NOTE: the SHIPPED posture remains task.cpus=2 (session.py — the honest
+declaration of a UDF task's dual JVM+Python occupancy, and the only setting
+robust at local[32] on this host). The task.cpus=1 figures above are an
+experiment; reproduce them by exporting WS_TASK_CPUS=1, which bench.py's
+--crawl-job subprocesses (used by this tool) now honor.
 
 Usage:
     python3 tools/cotenancy_study.py [k] [n] [sf]   # default 4 2 0.4
@@ -51,12 +57,24 @@ def main() -> None:
     env = dict(os.environ, PYTHONPATH=REPO)
 
     t0 = time.time()
+    # Child stdout goes to temp FILES, not pipes: k-1 children run
+    # unattended while communicate() drains the first — a child that emits
+    # >64KB of stdout (Spark noise) before its turn would fill the pipe
+    # buffer and deadlock the study.
+    import tempfile
+
+    outs = [tempfile.TemporaryFile(mode="w+", prefix="cotenancy_") for _ in range(k)]
     procs = [
         subprocess.Popen([sys.executable, bench, "--crawl-job", str(n), str(sf), "3"],
-                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
-        for _ in range(k)
+                         stdout=outs[i], stderr=subprocess.DEVNULL, text=True, env=env)
+        for i in range(k)
     ]
-    results = [json.loads(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+    results = []
+    for p, f in zip(procs, outs):
+        p.wait()
+        f.seek(0)
+        results.append(json.loads(f.read().strip().splitlines()[-1]))
+        f.close()
     window = time.time() - t0
     urls = sum(r["urls"] for r in results)
     secs = [r["sec"] for r in results]

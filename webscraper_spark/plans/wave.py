@@ -77,14 +77,19 @@ class CrawlConfig:
 
 
 def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers — zero Spark jobs."""
+    """Row count from parquet footers — zero Spark jobs. Footer reads are
+    fanned out over a thread pool: with ~1 scan split per core the wave
+    files number in the hundreds, and a serial driver loop over them was a
+    measurable slice of the per-wave serial floor (round-3 verdict)."""
     import pyarrow.parquet as pq
 
-    total = 0
-    for f in os.listdir(path):
-        if f.endswith(".parquet"):
-            total += pq.read_metadata(os.path.join(path, f)).num_rows
-    return total
+    files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    if len(files) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+            return sum(pool.map(lambda p: pq.read_metadata(p).num_rows, files))
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def tune_scan_splits(spark: SparkSession, source: DataFrame) -> dict[str, str] | None:
@@ -318,6 +323,7 @@ def run_crawl(
         sched = schedule_ranked(cand, budgets, wave).persist()
         if os.environ.get("WS_SCHED_BARRIER", "1") == "1":
             sched.count()
+        tw = _tick(f"w{wave} schedule+barrier", tw)
         batch = sched.filter(F.col("in_budget"))
         deferred = sched.filter(~F.col("in_budget")).select("url", "host", "depth", "disc_wave", "disc_pos")
 
@@ -369,6 +375,7 @@ def run_crawl(
         # 564 task-seconds for 529MB at sf0.4. Scan-split-count output files
         # are the cheaper evil; finalize reads them once.)
         fetched.write.mode("overwrite").parquet(os.path.join(wdir, "fetched"))
+        tw = _tick(f'w{wave} fetch+extract+write', tw)
         # Batch size read back from the write's parquet footers (zero jobs):
         # 0 means every frontier row was seen/robots-filtered — crawl done.
         if _parquet_rows(os.path.join(wdir, "fetched")) == 0:
@@ -376,7 +383,7 @@ def run_crawl(
             shutil.rmtree(wdir, ignore_errors=True)
             break
         fetched = spark.read.parquet(os.path.join(wdir, "fetched"))
-        tw = _tick(f'w{wave} fetch+extract+write', tw)
+        tw = _tick(f'w{wave} fetched-footers+reread', tw)
 
         # 6. outlinks -> next frontier. seen/order/results/metrics are all
         # projections of the materialized `fetched` — no extra per-wave
@@ -401,6 +408,7 @@ def run_crawl(
         frontier = spark.read.parquet(os.path.join(wdir, "frontier"))
         n_frontier = _parquet_rows(os.path.join(wdir, "frontier"))
         seen = seen.unionByName(seen_delta)
+        tw = _tick(f'w{wave} manifest+frontier-footers', tw)
 
     budgets.unpersist()
     spark.conf.set(coalesce_key, prev_coalesce)
