@@ -52,7 +52,12 @@ from webscraper_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from webscraper_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_ann_topk  # noqa: E402
+from webscraper_spark.operators.simsearch import (  # noqa: E402
+    brute_force_topk,
+    ivf_topk,
+    lsh_ann_topk,
+    train_centroids,
+)
 
 RUN_DATE = "2020-09-01"
 _STOP = {
@@ -1029,7 +1034,13 @@ SELECT id_a, id_b, cos FROM (
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(_t(sf_dir, "embeddings")).withColumn("embedding", F.col("embedding").cast("array<double>"))
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return ivf_topk(e, q, k=5, n_cells=16, n_probe=4).select(
+    # Explicit h60-sample codebook: the DuckDB oracle replays this exact
+    # sample. The library DEFAULT is the trained k-means codebook
+    # (train_centroids_kmeans), whose Lloyd's iterations an ANSI-SQL oracle
+    # cannot recompute — its recall guarantees are pytest-verified instead
+    # (test_ivf_trained_codebook_beats_sample).
+    cb = train_centroids(e.select("vec_id", F.col("embedding").alias("vec")), 16)
+    return ivf_topk(e, q, k=5, n_cells=16, n_probe=4, codebook=cb).select(
         "q_id", "vec_id", F.col("rank").cast("long").alias("nn_rank")
     )
 

@@ -226,8 +226,13 @@ def test_multimodal_null_payload_and_stub(spark):
     )
     rows = decode_features(media).collect()
     assert sum(r.status == "null_payload" for r in rows) == 1
-    with pytest.raises(Exception, match="NotImplementedError|real image/audio decode"):
-        decode_features(media, require_real_decoder=True).collect()
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        # no PIL in the container: the real-decoder path must fail loudly,
+        # not silently fall back to the stub
+        with pytest.raises(Exception, match="NotImplementedError|real image/audio decode"):
+            decode_features(media, require_real_decoder=True).collect()
 
 
 def test_lsh_ann_dim768(spark):
@@ -305,7 +310,7 @@ def test_ivf_trained_codebook_beats_sample(spark):
     seed-free, so the margin is a fixed number, not a statistical one."""
     import math
 
-    from webscraper_spark.operators.simsearch import ivf_topk, train_centroids_kmeans
+    from webscraper_spark.operators.simsearch import ivf_topk, train_centroids, train_centroids_kmeans
 
     n, dim, ncl, noise_scale, n_cells = 400, 16, 8, 0.7, 8
     rows = []
@@ -329,9 +334,13 @@ def test_ivf_trained_codebook_beats_sample(spark):
         return sum(recs) / len(recs)
 
     cb = train_centroids_kmeans(base_df, n_cells=n_cells, id_col="vec_id", vec_col="vec")
-    r_trained, r_sample = recall(cb), recall(None)
+    r_trained = recall(cb)
+    r_sample = recall(train_centroids(base_df, n_cells, id_col="vec_id", vec_col="vec"))
     assert r_trained >= 0.95, r_trained
     assert r_trained > r_sample + 0.03, (r_trained, r_sample)
+    # the library DEFAULT path (codebook=None) IS the trained codebook —
+    # deterministic training means identical recall, not just similar
+    assert recall(None) == r_trained
     # retraining yields the identical codebook (h60-ordered sample + fixed
     # iterations + first-max ties: no RNG anywhere)
     cb2 = train_centroids_kmeans(base_df, n_cells=n_cells, id_col="vec_id", vec_col="vec")
@@ -376,5 +385,8 @@ def test_multimodal_resize_plan(spark):
         assert (r.width, r.height, r.status) == (32, 32, "ok")
         want = hashlib.sha256(hashlib.sha256(str(mid).encode()).hexdigest().encode() + b"32x32").hexdigest()
         assert r.resized_h60 == int(want[:15], 16)
-    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
-        resize_plan(media, require_real_resizer=True).collect()
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+            resize_plan(media, require_real_resizer=True).collect()

@@ -131,6 +131,37 @@ def test_resume_identical_to_straight_run(spark, inputs, oracle_result, tmp_path
     assert got_seen == oracle_result[1]
 
 
+def test_resume_recovers_from_corrupt_manifest(spark, inputs, oracle_result, tmp_path_factory):
+    """Truncate the manifest after wave 2 -> resume still completes
+    identically: read_manifest falls back to the wave dirs' frontier
+    _SUCCESS markers (the last per-wave write before the manifest), so the
+    resume contract survives manifest damage/format evolution (ST3/ST5)."""
+    import json
+    import os
+
+    from webscraper_spark.plans.wave import read_manifest
+
+    pages, seeds, robots, politeness = inputs
+    ckpt = str(tmp_path_factory.mktemp("ckpt_corrupt"))
+    run_crawl(spark, pages, seeds, robots, politeness, ckpt, CrawlConfig(max_waves=3))
+    good = read_manifest(ckpt)
+    mpath = os.path.join(ckpt, "manifest.json")
+    raw = open(mpath).read()
+    with open(mpath, "w") as f:
+        f.write(raw[: len(raw) // 2])  # truncated mid-JSON
+    assert read_manifest(ckpt) == good  # recovered from _SUCCESS markers
+    paths = run_crawl(spark, pages, seeds, robots, politeness, ckpt,
+                      CrawlConfig(max_waves=MAX_WAVES), resume=True)
+    got_order = {(r.url, r.host, r.wave, r.rank) for r in spark.read.parquet(paths["order"]).collect()}
+    assert got_order == set(oracle_result[0])
+
+    # a manifest from a NEWER format version refuses loudly instead of guessing
+    with open(mpath, "w") as f:
+        json.dump({"version": 99, "completed_waves": good}, f)
+    with pytest.raises(RuntimeError, match="version 99"):
+        read_manifest(ckpt)
+
+
 def test_bloom_path_identical(spark, inputs, oracle_result, tmp_path_factory):
     pages, seeds, robots, politeness = inputs
     ckpt = str(tmp_path_factory.mktemp("ckpt_bloom"))

@@ -1,0 +1,172 @@
+"""Spark-standalone N-vs-4N-executor scaling study (north-rule letter).
+
+The north rule asks for the crawl to run "via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors)". This
+tool instantiates exactly that inside the sandbox:
+
+  1. zips webscraper_spark/ into a --py-files archive,
+  2. starts a real Spark standalone master + one worker (separate JVMs),
+  3. spark-submits tools/standalone_crawl_driver.py twice — once capped at
+     N executors and once at 4N (2-core executors via spark.cores.max),
+  4. prints throughput at both sizes plus the pair efficiency.
+
+Executors here are genuinely separate JVMs behind the standalone RPC/
+shuffle paths — the closest in-sandbox analog of a real cluster. The
+caveat from BENCH/BASELINE.md stands: all executors still share this one
+host's memory controller, and per-job RPC latency is amortized over far
+less data than a production run, so the LOCAL-mode paired studies remain
+the quantitative scaling evidence; this tool demonstrates the deployment
+path end-to-end and gives the standalone data point.
+
+Usage:
+    python3 tools/standalone_study.py [sf] [n_exec_lo] [n_exec_hi]
+    # defaults: sf=0.4, 1 vs 4 executors (2 cores each)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def _pyspark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def build_pyfiles_zip(dest: str = "/tmp/ws_pyfiles.zip") -> str:
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(REPO, "webscraper_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return dest
+
+
+def _spark_env() -> dict[str, str]:
+    env = dict(os.environ)
+    env.pop("PYSPARK_DRIVER_PYTHON", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    return env
+
+
+_DAEMONS: list[subprocess.Popen] = []
+
+
+def start_cluster(worker_cores: int, worker_mem: str = "32g") -> None:
+    """Start a standalone master + one worker as foreground spark-class
+    JVMs (pip pyspark ships no start-master.sh/start-worker.sh) — real
+    separate processes, the same deploy classes a production standalone
+    cluster runs."""
+    home = _pyspark_home()
+    env = _spark_env()
+    spark_class = os.path.join(home, "bin", "spark-class")
+    log = open("/tmp/standalone_cluster.log", "a")
+    _DAEMONS.append(subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8066"],
+        env=env, stdout=log, stderr=subprocess.STDOUT,
+    ))
+    time.sleep(5)
+    _DAEMONS.append(subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+         "--cores", str(worker_cores), "--memory", worker_mem,
+         "--webui-port", "8067"],
+        env=env, stdout=log, stderr=subprocess.STDOUT,
+    ))
+    time.sleep(5)
+    for p in _DAEMONS:
+        if p.poll() is not None:
+            raise RuntimeError(
+                f"standalone daemon died at startup (rc={p.returncode}); see /tmp/standalone_cluster.log"
+            )
+
+
+def stop_cluster() -> None:
+    for p in reversed(_DAEMONS):
+        if p.poll() is None:
+            p.terminate()
+    for p in _DAEMONS:
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+    _DAEMONS.clear()
+
+
+def submit_crawl(n_executors: int, sf: float, max_waves: int, pyfiles: str) -> dict:
+    home = _pyspark_home()
+    corpus = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
+    cmd = [
+        os.path.join(home, "bin", "spark-submit"),
+        "--master", MASTER_URL,
+        "--py-files", pyfiles,
+        "--conf", f"spark.cores.max={n_executors * 2}",
+        "--conf", "spark.executor.cores=2",
+        "--conf", "spark.executor.memory=8g",
+        "--conf", "spark.task.cpus=2",
+        "--conf", "spark.sql.shuffle.partitions=" + str(max(n_executors * 2, 8)),
+        os.path.join(REPO, "tools", "standalone_crawl_driver.py"),
+        str(sf), str(max_waves), corpus,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=_spark_env())
+    for line in reversed((out.stdout or "").strip().splitlines()):
+        try:
+            d = json.loads(line)
+            if isinstance(d, dict) and "sec" in d:
+                return d
+        except (json.JSONDecodeError, ValueError):
+            continue
+    raise RuntimeError(
+        f"spark-submit n_exec={n_executors} produced no JSON (rc={out.returncode}); "
+        f"stderr tail:\n{(out.stderr or '')[-2000:]}"
+    )
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.4
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    corpus = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
+    if not os.path.isdir(corpus):
+        raise SystemExit(f"materialize the corpus first (bench.py does): {corpus}")
+
+    pyfiles = build_pyfiles_zip()
+    # worker owns enough cores for the BIG config; cores.max caps the small one
+    start_cluster(worker_cores=hi * 2)
+    try:
+        results = {}
+        for n_exec in (lo, hi):
+            r = submit_crawl(n_exec, sf, 3, pyfiles)
+            r["urls_per_sec"] = round(r["urls"] / r["sec"], 1)
+            results[n_exec] = r
+            print(json.dumps({"n_executors": n_exec, **r}), flush=True)
+        ratio = hi / lo
+        eff = (results[lo]["sec"] / results[hi]["sec"]) / ratio
+        print(json.dumps({
+            "study": f"standalone {lo} vs {hi} executors (2 cores each, --py-files)",
+            "sf": sf,
+            f"sec_{lo}exec": results[lo]["sec"], f"sec_{hi}exec": results[hi]["sec"],
+            "pair_eff": round(eff, 3),
+        }), flush=True)
+    finally:
+        stop_cluster()
+        shutil.rmtree(os.path.join(REPO, ".cache", "standalone_tmp"), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -173,11 +173,11 @@ def train_centroids_kmeans(
     configuration-sized (sample_n x dim — a few MB), so the driver-side
     numpy Lloyd's loop is not a data-scale operation; the corpus itself
     never leaves the executors. Returns (cell_id 0..k-1, cvec) — the same
-    shape ivf_topk's `codebook` parameter accepts. train_centroids (the
-    plain h60 sample) remains the default because every step of it is
-    recomputable by the ANSI-SQL correctness oracle, which k-means
-    iterations would not be; recall on clustered data is strictly better
-    here (tested)."""
+    shape ivf_topk's `codebook` parameter accepts. This is ivf_topk's
+    DEFAULT codebook (recall on clustered data is strictly better than the
+    plain h60 sample — tested); train_centroids stays available for paths
+    that must be recomputable by the ANSI-SQL correctness oracle, which
+    k-means iterations would not be."""
     from webscraper_spark.operators.dedup import h60
 
     rows = (
@@ -254,15 +254,17 @@ def ivf_topk(
     query to its n_probe nearest cells, join candidates per cell, then
     exact rounded-cosine + window top-k on candidates only.
 
-    `codebook` is any (cell_id, cvec) DataFrame — train_centroids_kmeans
-    output for trained cells, or anything of that shape; default is the
-    h60-sampled train_centroids codebook (the ANSI-SQL-oracle-recomputable
-    path). The codebook is collected to the driver to build the router
-    closure — it is configuration-sized (n_cells rows), not data; the
-    corpus itself never leaves the executors."""
+    `codebook` is any (cell_id, cvec) DataFrame. Default is the TRAINED
+    deterministic-k-means codebook (train_centroids_kmeans — recall beats
+    the plain sample on clustered data, tested); pass
+    train_centroids(base, n_cells) explicitly for the h60-sample codebook
+    when every step must be recomputable by an ANSI-SQL oracle (the driver
+    correctness query does this). The codebook is collected to the driver
+    to build the router closure — it is configuration-sized (n_cells
+    rows), not data; the corpus itself never leaves the executors."""
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if codebook is None:
-        codebook = train_centroids(base, n_cells)
+        codebook = train_centroids_kmeans(base, n_cells)
     cent_rows = sorted(codebook.collect(), key=lambda r: r["cell_id"])
     cent_ids = np.asarray([r["cell_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)

@@ -142,19 +142,55 @@ def _manifest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "manifest.json")
 
 
+MANIFEST_VERSION = 1
+
+
 def _write_manifest(ckpt_dir: str, completed: list[int]) -> None:
     tmp = _manifest_path(ckpt_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"completed_waves": completed}, f)
+        json.dump({"version": MANIFEST_VERSION, "completed_waves": completed}, f)
     os.replace(tmp, _manifest_path(ckpt_dir))
 
 
+def _recover_completed(ckpt_dir: str) -> list[int]:
+    """Rebuild the completed-wave list from the wave dirs themselves: a wave
+    is complete iff its frontier table finished writing (frontier/_SUCCESS —
+    the last per-wave write before the manifest). Only the contiguous prefix
+    from wave 0 counts: a gap means later dirs are partial debris from a
+    run that died mid-write, and resuming past a gap would drop its
+    seen-set contribution."""
+    done = set()
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("wave=") and os.path.exists(os.path.join(ckpt_dir, d, "frontier", "_SUCCESS")):
+            done.add(int(d.split("=", 1)[1]))
+    completed = []
+    w = 0
+    while w in done:
+        completed.append(w)
+        w += 1
+    return completed
+
+
 def read_manifest(ckpt_dir: str) -> list[int]:
+    """Completed waves from the manifest; a corrupt/truncated manifest file
+    (external damage — writes themselves are atomic tmp+rename) falls back
+    to recovery from the wave dirs' _SUCCESS markers, so resume survives it.
+    A manifest from a NEWER format version is an error, not a guess."""
     p = _manifest_path(ckpt_dir)
     if not os.path.exists(p):
         return []
-    with open(p) as f:
-        return json.load(f)["completed_waves"]
+    try:
+        with open(p) as f:
+            data = json.load(f)
+        waves = list(data["completed_waves"])
+    except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+        return _recover_completed(ckpt_dir)
+    if int(data.get("version", 1)) > MANIFEST_VERSION:
+        raise RuntimeError(
+            f"checkpoint manifest {p} has version {data.get('version')} > "
+            f"supported {MANIFEST_VERSION}; refusing to resume with an older engine"
+        )
+    return waves
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
