@@ -321,7 +321,7 @@ def _median(xs: list[float]) -> float:
 
 
 def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
-                  on_rep=None) -> dict:
+                  on_rep=None, pre_rep=None) -> dict:
     """Interleaved paired scaling study: per rep, probe the hardware grant at
     both widths, then run lo and hi back-to-back (adjacent-in-time runs share
     a host window, so their ratio — pair_eff — is meaningful even when the
@@ -336,6 +336,7 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     per_rep = []
     for rep in range(reps):
+        extra_rec = pre_rep(rep) if pre_rep is not None else {}
         hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
         mem = {n: _membw_probe(n) for n in (n_lo, n_hi)}
         rec = {}
@@ -349,6 +350,7 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
             runs[cores].append(r)
             rec[cores] = r
         per_rep.append({
+            **extra_rec,
             f"hw_{n_lo}": hw[n_lo], f"hw_{n_hi}": hw[n_hi],
             "hw_eff": round((hw[n_hi] / hw[n_lo]) / ratio, 3),
             f"membw_{n_lo}": mem[n_lo], f"membw_{n_hi}": mem[n_hi],
