@@ -29,6 +29,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_SKIP_WITHIN=1 to skip the within-grant pair,
      BENCH_FULL_PROTOCOL=1 for the long-form protocol (reps 5/3, sf2.5),
      BENCH_SCALING_SF / BENCH_SCALING_REPS / BENCH_WITHIN_REPS to override,
+     BENCH_DEADLINE_S (default 2100) wall-clock budget for the default run —
+     study reps past it are dropped (>=1 rep per study always runs),
      WS_TASK_CPUS to override spark.task.cpus for every measured session
      (shipped posture: 2 — see session.py).
 """
@@ -259,16 +261,56 @@ def _membw_probe(n_procs: int, dur: float = 8.0) -> float:
     return round(sum(arr) * 128 / dur, 1)
 
 
+def _kill_parent_jvm(spark) -> None:
+    """Fully terminate the in-process Spark JVM, not just the context.
+
+    spark.stop() leaves the py4j gateway JVM alive for the life of the
+    Python process, holding its fully-expanded heap (observed: 47 GB RES,
+    idle, 90 minutes after materialization finished). Every 'fresh-JVM
+    subprocess' measurement in rounds 3-4 ran co-resident with that zombie —
+    the single biggest hygiene hole in the scaling protocol. Kill the
+    gateway process and reset the class-level handles so a later in-process
+    session relaunches cleanly."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=10)
+            except Exception:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
 def _ensure_corpus(sf: float) -> None:
-    """Materialize the scaling corpus once (cached) in a throwaway session."""
+    """Materialize the scaling corpus once (cached) in a throwaway session.
+    The session's JVM is hard-killed afterwards — a stopped-but-alive
+    gateway JVM holding ~47 GB contaminated every co-resident measurement."""
     cache = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
     if os.path.exists(os.path.join(cache, "_COMPLETE")):
         return
     from webscraper_spark.sources.synth import materialize_corpus
 
     spark = _fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    materialize_corpus(spark, sf, cache)
-    spark.stop()
+    try:
+        materialize_corpus(spark, sf, cache)
+    finally:
+        _kill_parent_jvm(spark)
 
 
 _ACTIVE_CHILD = None  # the in-flight crawl subprocess, killed by the signal handler
@@ -321,7 +363,7 @@ def _median(xs: list[float]) -> float:
 
 
 def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
-                  on_rep=None, pre_rep=None) -> dict:
+                  on_rep=None, pre_rep=None, deadline: float | None = None) -> dict:
     """Interleaved paired scaling study: per rep, probe the hardware grant at
     both widths, then run lo and hi back-to-back (adjacent-in-time runs share
     a host window, so their ratio — pair_eff — is meaningful even when the
@@ -335,7 +377,17 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     ratio = n_hi / n_lo
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     per_rep = []
+    deadline_hit = False
     for rep in range(reps):
+        # Deadline guard (rep 0 always runs): a bad host window can double
+        # every run's wall clock; dropping later reps keeps the DEFAULT
+        # invocation inside the driver's execution budget with a complete
+        # JSON (round 3 lost its whole artifact to rc=124).
+        if deadline is not None and rep > 0 and time.time() > deadline:
+            deadline_hit = True
+            print(f"[bench] deadline reached; stopping {n_lo}v{n_hi} study "
+                  f"after {rep} rep(s)", file=sys.stderr)
+            break
         extra_rec = pre_rep(rep) if pre_rep is not None else {}
         hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
         mem = {n: _membw_probe(n) for n in (n_lo, n_hi)}
@@ -370,7 +422,8 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     hw_eff = _median([p["hw_eff"] for p in per_rep])
     membw_eff = _median([p["membw_eff"] for p in per_rep])
     return {
-        "n_lo": n_lo, "n_hi": n_hi,
+        "n_lo": n_lo, "n_hi": n_hi, "reps_requested": reps,
+        "deadline_hit": deadline_hit,
         f"local{n_lo}": results[n_lo],
         f"local{n_hi}": results[n_hi],
         "per_rep": per_rep,
@@ -385,6 +438,9 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         "efficiency_normalized": round(eff / hw_eff, 3) if hw_eff > 0 else None,
         "efficiency_vs_membw": round(_median([p["pair_eff"] for p in per_rep]) / membw_eff, 3) if membw_eff > 0 else None,
     }
+
+
+_T_START = time.time()
 
 
 def main() -> None:
@@ -492,17 +548,32 @@ def main() -> None:
         # whole run stays ~20-30 min. The publication protocol behind
         # BENCH_FULL_PROTOCOL=1 (5+3 reps, sf2.5 — or larger via
         # BENCH_SCALING_SF) is what BASELINE.md tables are built from.
-        spark.stop()
+        #
+        # HARD-kill the headline session's JVM (not just the context): its
+        # ~47 GB heap stays resident otherwise and contaminates every
+        # "fresh-JVM" study subprocess (round-4 diagnosis: the same
+        # --crawl-job command measured 81s clean vs 288-650s with the
+        # stopped-context JVM co-resident).
+        _kill_parent_jvm(spark)
         full = os.environ.get("BENCH_FULL_PROTOCOL", "0") == "1"
         scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "2.5" if full else "1.0"))
         mand_reps = int(os.environ.get("BENCH_SCALING_REPS", "5" if full else "2"))
         within_reps = int(os.environ.get("BENCH_WITHIN_REPS", "3" if full else "2"))
+        # Wall-clock deadline for the DEFAULT run: later study reps are
+        # dropped once exceeded (each study keeps >=1 rep so both medians
+        # always exist). A bad host window doubles run walls; without this
+        # the default can outgrow the driver's budget (round-3 rc=124).
+        deadline = (None if full else
+                    _T_START + float(os.environ.get("BENCH_DEADLINE_S", "2100")))
         _ensure_corpus(scaling_sf)
         scaling = out["scaling"]
         scaling["sf"] = scaling_sf
-        studies = [(8, 32, mand_reps, "mandated_8_32")]
+        # Within-grant pair FIRST: it is the decisive gate number, so when
+        # the deadline trims reps it trims the mandated pair preferentially.
+        studies = []
         if os.environ.get("BENCH_SKIP_WITHIN", "0") != "1":
             studies.append((2, 8, within_reps, "within_grant_2_8"))
+        studies.append((8, 32, mand_reps, "mandated_8_32"))
         for n_lo, n_hi, reps, label in studies:
             # stream completed reps into `out` so a partial emission carries
             # every finished pair, not just finished studies
@@ -512,7 +583,8 @@ def main() -> None:
                 scaling[label]["per_rep"] = pr
                 scaling[label]["pair_eff_median"] = _median([p["pair_eff"] for p in pr])
 
-            scaling[label] = _paired_study(n_lo, n_hi, reps, scaling_sf, max_waves, on_rep=_stash)
+            scaling[label] = _paired_study(n_lo, n_hi, reps, scaling_sf, max_waves,
+                                           on_rep=_stash, deadline=deadline)
         # Back-compat headline keys mirror the mandated study (do not relabel).
         m = scaling["mandated_8_32"]
         for k in ("efficiency", "pair_eff_median", "efficiency_paired_best",

@@ -19,8 +19,13 @@ the quantitative scaling evidence; this tool demonstrates the deployment
 path end-to-end and gives the standalone data point.
 
 Usage:
-    python3 tools/standalone_study.py [sf] [n_exec_lo] [n_exec_hi]
-    # defaults: sf=0.4, 1 vs 4 executors (2 cores each)
+    python3 tools/standalone_study.py [sf] [n_exec_lo] [n_exec_hi] [reps] [out.json]
+    # defaults: sf=0.4, 1 vs 4 executors (2 cores each), 1 rep,
+    #           out=BENCH/standalone_sf{sf}.json
+Each rep waits for an idle host window (same ex-ante membw gate as
+tools/within_grant_study.py — the gate decides WHEN a rep starts, never
+whether its result is kept), alternates submit order, and streams partial
+results to the artifact.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 MASTER_URL = "spark://127.0.0.1:7077"
 
 
@@ -117,7 +123,8 @@ def submit_crawl(n_executors: int, sf: float, max_waves: int, pyfiles: str) -> d
         "--py-files", pyfiles,
         "--conf", f"spark.cores.max={n_executors * 2}",
         "--conf", "spark.executor.cores=2",
-        "--conf", "spark.executor.memory=8g",
+        "--conf", "spark.executor.memory=10g",
+        "--conf", "spark.driver.memory=6g",
         "--conf", "spark.task.cpus=2",
         "--conf", "spark.sql.shuffle.partitions=" + str(max(n_executors * 2, 8)),
         os.path.join(REPO, "tools", "standalone_crawl_driver.py"),
@@ -141,28 +148,61 @@ def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.4
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    out_path = sys.argv[5] if len(sys.argv) > 5 else os.path.join(REPO, "BENCH", f"standalone_sf{sf}.json")
     corpus = os.path.join(REPO, ".cache", f"corpus_sf{sf}")
     if not os.path.isdir(corpus):
         raise SystemExit(f"materialize the corpus first (bench.py does): {corpus}")
 
+    import bench  # probes + tmpfs hygiene (REPO is on sys.path)
+
+    bench.sweep_stale_tmpfs()
     pyfiles = build_pyfiles_zip()
     # worker owns enough cores for the BIG config; cores.max caps the small one
     start_cluster(worker_cores=hi * 2)
+    ratio = hi / lo
+    per_rep: list[dict] = []
     try:
-        results = {}
-        for n_exec in (lo, hi):
-            r = submit_crawl(n_exec, sf, 3, pyfiles)
-            r["urls_per_sec"] = round(r["urls"] / r["sec"], 1)
-            results[n_exec] = r
-            print(json.dumps({"n_executors": n_exec, **r}), flush=True)
-        ratio = hi / lo
-        eff = (results[lo]["sec"] / results[hi]["sec"]) / ratio
-        print(json.dumps({
-            "study": f"standalone {lo} vs {hi} executors (2 cores each, --py-files)",
-            "sf": sf,
-            f"sec_{lo}exec": results[lo]["sec"], f"sec_{hi}exec": results[hi]["sec"],
-            "pair_eff": round(eff, 3),
-        }), flush=True)
+        for rep in range(reps):
+            # Same ex-ante idle-window gate as tools/within_grant_study.py:
+            # decides only WHEN a rep starts, never whether it is kept.
+            gate_mbs = float(os.environ.get("WS_GATE_MEMBW_MBS", "18000"))
+            max_wait = float(os.environ.get("WS_GATE_WAIT_S", "600"))
+            t0 = time.time()
+            while True:
+                got = bench._membw_probe(8)
+                waited = round(time.time() - t0, 1)
+                if got >= gate_mbs or waited >= max_wait:
+                    gate = {"gate_membw_mbs": got, "gate_waited_s": waited,
+                            "gate_timed_out": got < gate_mbs}
+                    break
+                print(f"[standalone] membw grant {got} < gate {gate_mbs}; waiting ({waited}s)", flush=True)
+                time.sleep(30)
+            order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+            rec: dict[int, dict] = {}
+            for n_exec in order:
+                r = submit_crawl(n_exec, sf, 3, pyfiles)
+                r["urls_per_sec"] = round(r["urls"] / r["sec"], 1)
+                rec[n_exec] = r
+                print(json.dumps({"rep": rep, "n_executors": n_exec, **r}), flush=True)
+            per_rep.append({
+                **gate,
+                f"sec_{lo}exec": rec[lo]["sec"], f"sec_{hi}exec": rec[hi]["sec"],
+                "urls": rec[hi]["urls"],
+                "pair_eff": round((rec[lo]["sec"] / rec[hi]["sec"]) / ratio, 3),
+            })
+            with open(out_path, "w") as f:  # stream partials: a kill keeps finished pairs
+                json.dump({"study": "standalone_pyfiles", "sf": sf, "lo": lo, "hi": hi,
+                           "partial": rep + 1 < reps, "per_rep": per_rep}, f, indent=1)
+        summary = {
+            "study": f"standalone {lo} vs {hi} executors (2 cores each, spark-submit --py-files)",
+            "sf": sf, "lo": lo, "hi": hi,
+            "per_rep": per_rep,
+            "pair_eff_median": bench._median([p["pair_eff"] for p in per_rep]),
+        }
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary), flush=True)
     finally:
         stop_cluster()
         shutil.rmtree(os.path.join(REPO, ".cache", "standalone_tmp"), ignore_errors=True)
