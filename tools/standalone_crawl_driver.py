@@ -48,6 +48,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    def live_executors() -> int:
+        # getExecutorMemoryStatus keys one BlockManager per executor plus the
+        # driver's own; SparkExecutorInfo exposes no executor id to filter on,
+        # so count map entries minus the driver.
+        return spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+
+    # Wait for the full grant before the timed run — a short-placed leg
+    # (e.g. worker memory fitting only 3 of 4 executors) must FAIL LOUDLY,
+    # not record a mislabeled pair.
+    expected = int(spark.conf.get("spark.cores.max")) // int(spark.conf.get("spark.executor.cores"))
+    deadline = time.time() + 60
+    while live_executors() < expected and time.time() < deadline:
+        time.sleep(1)
+    n_exec_live = live_executors()
+    if n_exec_live < expected:
+        print(json.dumps({"error": f"only {n_exec_live}/{expected} executors granted"}))
+        spark.stop()
+        sys.exit(3)
+
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
 
     def crawl(paths: dict[str, str], waves: int) -> tuple[float, int]:
@@ -79,7 +98,7 @@ def main() -> None:
 
     paths = {n: os.path.join(corpus_dir, n) for n in ("pages", "robots")}
     sec, n = crawl(paths, max_waves)
-    print(json.dumps({"sec": round(sec, 2), "urls": n, "sf": sf}))
+    print(json.dumps({"sec": round(sec, 2), "urls": n, "sf": sf, "n_exec": live_executors()}))
     spark.stop()
 
 

@@ -62,18 +62,26 @@ def build_pyfiles_zip(dest: str = "/tmp/ws_pyfiles.zip") -> str:
     return dest
 
 
+EXECUTOR_MEM_GB = 10  # per-executor heap; worker memory is sized from this
+
+
 def _spark_env() -> dict[str, str]:
     env = dict(os.environ)
     env.pop("PYSPARK_DRIVER_PYTHON", None)
     env["PYSPARK_PYTHON"] = sys.executable
     env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    # executor spill/shuffle dirs on tmpfs — same posture as the local-mode
+    # bench legs (cluster analog: executor-local NVMe). Worker exports it to
+    # every executor it launches.
+    env["SPARK_LOCAL_DIRS"] = "/dev/shm/ws_spark_sa"
+    os.makedirs("/dev/shm/ws_spark_sa", exist_ok=True)
     return env
 
 
 _DAEMONS: list[subprocess.Popen] = []
 
 
-def start_cluster(worker_cores: int, worker_mem: str = "32g") -> None:
+def start_cluster(worker_cores: int, worker_mem: str) -> None:
     """Start a standalone master + one worker as foreground spark-class
     JVMs (pip pyspark ships no start-master.sh/start-worker.sh) — real
     separate processes, the same deploy classes a production standalone
@@ -123,8 +131,10 @@ def submit_crawl(n_executors: int, sf: float, max_waves: int, pyfiles: str) -> d
         "--py-files", pyfiles,
         "--conf", f"spark.cores.max={n_executors * 2}",
         "--conf", "spark.executor.cores=2",
-        "--conf", "spark.executor.memory=10g",
-        "--conf", "spark.driver.memory=6g",
+        "--conf", f"spark.executor.memory={EXECUTOR_MEM_GB}g",
+        # the w1 batch broadcast (millions of rows at sf>=2.5) is built on
+        # the driver; 6g left it GC-bound next to a 48g local-mode driver
+        "--conf", "spark.driver.memory=16g",
         "--conf", "spark.task.cpus=2",
         "--conf", "spark.sql.shuffle.partitions=" + str(max(n_executors * 2, 8)),
         os.path.join(REPO, "tools", "standalone_crawl_driver.py"),
@@ -158,8 +168,12 @@ def main() -> None:
 
     bench.sweep_stale_tmpfs()
     pyfiles = build_pyfiles_zip()
-    # worker owns enough cores for the BIG config; cores.max caps the small one
-    start_cluster(worker_cores=hi * 2)
+    # Worker owns enough cores AND memory for the BIG config; cores.max caps
+    # the small one. Sizing the memory from the executor heap matters: a 32g
+    # worker placing 10g executors silently caps the "4-executor" leg at
+    # floor(32/10)=3 executors (found via the event log in round 4 — the
+    # recorded 0.337 median ran 1-vs-3, not 1-vs-4).
+    start_cluster(worker_cores=hi * 2, worker_mem=f"{hi * EXECUTOR_MEM_GB + 4}g")
     ratio = hi / lo
     per_rep: list[dict] = []
     try:
@@ -188,6 +202,7 @@ def main() -> None:
             per_rep.append({
                 **gate,
                 f"sec_{lo}exec": rec[lo]["sec"], f"sec_{hi}exec": rec[hi]["sec"],
+                "n_exec_granted": [rec[lo].get("n_exec"), rec[hi].get("n_exec")],
                 "urls": rec[hi]["urls"],
                 "pair_eff": round((rec[lo]["sec"] / rec[hi]["sec"]) / ratio, 3),
             })
@@ -206,6 +221,7 @@ def main() -> None:
     finally:
         stop_cluster()
         shutil.rmtree(os.path.join(REPO, ".cache", "standalone_tmp"), ignore_errors=True)
+        shutil.rmtree("/dev/shm/ws_spark_sa", ignore_errors=True)
 
 
 if __name__ == "__main__":
