@@ -78,15 +78,16 @@ def _t(sf_dir: str, name: str) -> str:
 
 def entry(spark: SparkSession) -> DataFrame:
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
-    from webscraper_spark.sources.synth import materialize_corpus
+    from webscraper_spark.sources.synth import load_pages, materialize_corpus
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "corpus_sf0.001")
     os.makedirs(cache, exist_ok=True)
     paths = materialize_corpus(spark, 0.001, cache)
     load = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    pages, bucketed = load_pages(spark, paths["pages"])
     ckpt = tempfile.mkdtemp(prefix="entry_ckpt_")
-    out = run_crawl(spark, load("pages"), load("seeds"), load("robots"), load("politeness"),
-                    ckpt, CrawlConfig(max_waves=3))
+    out = run_crawl(spark, pages, load("seeds"), load("robots"), load("politeness"),
+                    ckpt, CrawlConfig(max_waves=3, corpus_bucketed=bucketed))
     results = spark.read.parquet(out["results"]).filter(F.col("x_status") == "ok")
     cars = with_car_pricing_inputs(with_typed(results)).filter(eligibility())
     cars = with_tags(with_identity(cars)).withColumn("preis_tag", preis_tag(preis_12_s_expr())).withColumn(
@@ -1345,16 +1346,17 @@ def _q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus parquet — the north-rule 'crawl ordering + URL-seen set'
     invariant, machine-checked end to end."""
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
-    from webscraper_spark.sources.synth import materialize_corpus
+    from webscraper_spark.sources.synth import load_pages, materialize_corpus
 
     sf = 0.001 if "0.001" in sf_dir else 0.01
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", f"corpus_sf{sf}")
     os.makedirs(cache, exist_ok=True)
     paths = materialize_corpus(spark, sf, cache)
     load = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    pages, bucketed = load_pages(spark, paths["pages"])
     ckpt = tempfile.mkdtemp(prefix="qcrawl_")
-    out = run_crawl(spark, load("pages"), load("seeds"), load("robots"), load("politeness"),
-                    ckpt, CrawlConfig(max_waves=3))
+    out = run_crawl(spark, pages, load("seeds"), load("robots"), load("politeness"),
+                    ckpt, CrawlConfig(max_waves=3, corpus_bucketed=bucketed))
     return spark.read.parquet(out["order"]).select(
         "url", "host", F.col("wave").cast("long").alias("wave"),
         F.col("rank").cast("long").alias("rank"), "sched_ms"

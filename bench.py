@@ -146,10 +146,12 @@ def run_crawl_job(spark, paths: dict[str, str], max_waves: int) -> tuple[float, 
     from pyspark.sql import functions as F
 
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
+    from webscraper_spark.sources.synth import load_pages
 
     load = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    pages, bucketed = load_pages(spark, paths["pages"])
     seeds = (
-        load("pages").filter(F.col("url").contains("/inventory?"))
+        pages.filter(F.col("url").contains("/inventory?"))
         .select("url", F.lit(0).alias("depth"), F.lit(1.0).alias("priority"))
     )
     # Checkpoints on tmpfs (pid-tagged so a parent can reclaim after an
@@ -162,8 +164,8 @@ def run_crawl_job(spark, paths: dict[str, str], max_waves: int) -> tuple[float, 
     ckpt = tempfile.mkdtemp(prefix=f"bench_ckpt_pid{os.getpid()}_", dir=shm)
     t0 = time.time()
     out = run_crawl(
-        spark, load("pages"), seeds, load("robots"), _bench_politeness(spark),
-        ckpt, CrawlConfig(max_waves=max_waves),
+        spark, pages, seeds, load("robots"), _bench_politeness(spark),
+        ckpt, CrawlConfig(max_waves=max_waves, corpus_bucketed=bucketed),
     )
     n = spark.read.parquet(out["order"]).count()
     elapsed = time.time() - t0

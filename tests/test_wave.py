@@ -203,3 +203,33 @@ def test_unknown_host_gets_politeness_defaults(spark):
     # known host keeps its override
     assert sum(r.in_budget for r in known) == 2
     assert all(r.delay_ms == 100 for r in known)
+
+
+def test_bucketed_corpus_join_identical(spark, corpus_dir, inputs, oracle_result, tmp_path_factory):
+    """The bucketed-corpus fetch path (pages as a bucketed catalog table,
+    bucketed_broadcast_threshold=0 so EVERY wave takes the bucket-aligned
+    shuffled-hash join instead of the batch broadcast) produces the identical
+    crawl order + seen set — and its physical plan really is exchange-free on
+    the corpus side (the Iceberg bucket(N, url) behavior this layout stands
+    in for)."""
+    from webscraper_spark.sources.synth import load_pages
+
+    pages_b, bucketed = load_pages(spark, corpus_dir["pages"])
+    assert bucketed, "conftest corpus should be materialized bucketed"
+
+    # plan shape: url-equi-join against the bucketed table exchanges only
+    # the other side
+    probe = pages_b.join(pages_b.select("url").hint("SHUFFLE_HASH"), "url", "left_anti")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+
+    _, seeds, robots, politeness = inputs
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bucketed"))
+    paths = run_crawl(
+        spark, pages_b, seeds, robots, politeness, ckpt,
+        CrawlConfig(max_waves=MAX_WAVES, corpus_bucketed=True, bucketed_broadcast_threshold=0),
+    )
+    got_order = {(r.url, r.host, r.wave, r.rank) for r in spark.read.parquet(paths["order"]).collect()}
+    assert got_order == set(oracle_result[0])
+    got_seen = {r.url: r.wave for r in spark.read.parquet(paths["seen"]).collect()}
+    assert got_seen == oracle_result[1]

@@ -68,10 +68,12 @@ def main() -> None:
         sys.exit(3)
 
     from webscraper_spark.plans.wave import CrawlConfig, run_crawl
+    from webscraper_spark.sources.synth import load_pages
 
     def crawl(paths: dict[str, str], waves: int) -> tuple[float, int]:
+        pages, bucketed = load_pages(spark, paths["pages"])
         seeds = (
-            spark.read.parquet(paths["pages"]).filter(F.col("url").contains("/inventory?"))
+            pages.filter(F.col("url").contains("/inventory?"))
             .select("url", F.lit(0).alias("depth"), F.lit(1.0).alias("priority"))
         )
         politeness = spark.createDataFrame(
@@ -81,9 +83,9 @@ def main() -> None:
         ckpt = tempfile.mkdtemp(prefix=f"standalone_ckpt_pid{os.getpid()}_", dir=shm)
         t0 = time.time()
         out = run_crawl(
-            spark, spark.read.parquet(paths["pages"]), seeds,
+            spark, pages, seeds,
             spark.read.parquet(paths["robots"]), politeness,
-            ckpt, CrawlConfig(max_waves=waves),
+            ckpt, CrawlConfig(max_waves=waves, corpus_bucketed=bucketed),
         )
         n = spark.read.parquet(out["order"]).count()
         sec = time.time() - t0

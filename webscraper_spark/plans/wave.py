@@ -73,7 +73,18 @@ class CrawlConfig:
     # the batch), so the join flips to a shuffled hash join — the sandbox
     # stand-in for the bucketed storage-partitioned join an Iceberg
     # deployment would use (bucket(url) on both sides; no corpus shuffle).
-    broadcast_batch_threshold: int = 5_000_000
+    # WS_BCAST_BATCH_MAX overrides (multi-executor A/B: a broadcast is built
+    # serially on the driver AND deserialized once per executor, so its
+    # break-even shrinks as executors multiply).
+    broadcast_batch_threshold: int = int(os.environ.get("WS_BCAST_BATCH_MAX", 5_000_000))
+    # Corpus loaded as a bucketed catalog table (sources.synth.load_pages):
+    # a url-equi-join exchanges ONLY the thin batch side — the corpus reads
+    # in place (the Iceberg bucket(N, url) layout's behavior). The broadcast
+    # path's costs (serial driver build, one deserialize+hash-build per
+    # executor) then buy nothing, so the flip to the shuffled-hash join
+    # happens ~10x earlier (WS_BCAST_BATCH_MAX_BUCKETED overrides).
+    corpus_bucketed: bool = False
+    bucketed_broadcast_threshold: int = int(os.environ.get("WS_BCAST_BATCH_MAX_BUCKETED", 500_000))
 
 
 def _parquet_rows(path: str) -> int:
@@ -372,7 +383,9 @@ def run_crawl(
         # upper bound on the batch — footers/seed count, no job): a frontier
         # too big to bound the batch flips to the shuffled-hash path, which
         # is the safe choice at that scale anyway.
-        small_batch = n_frontier <= cfg.broadcast_batch_threshold
+        small_batch = n_frontier <= (
+            cfg.bucketed_broadcast_threshold if cfg.corpus_bucketed else cfg.broadcast_batch_threshold
+        )
         batch_side = F.broadcast(batch) if small_batch else batch.hint("SHUFFLE_HASH")
         hits = pages_slim.join(batch_side, "url", "inner").withColumn("fetch_status", F.lit("ok"))
         misses = (

@@ -412,7 +412,65 @@ def gen_politeness(spark: SparkSession, p: CorpusParams) -> DataFrame:
     return default.unionByName(overrides)
 
 
-def materialize_corpus(spark: SparkSession, sf: float, out_dir: str, force: bool = False) -> dict[str, str]:
+PAGES_BUCKETS = 64
+_BUCKET_MARKER = "_BUCKETED"
+
+
+def _write_bucketed_pages(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write pages as a Spark-bucketed parquet table: bucket(url) on disk is
+    the sandbox stand-in for the Iceberg `bucket(N, url)` partition spec the
+    north rule's frontier table would carry. A join on url against this
+    layout shuffles ONLY the other (thin, frontier-batch) side — the corpus
+    is read in place, which at 10^10 rows is the difference between a usable
+    fetch-join and shuffling 100TB of html per wave. 32MB row groups keep
+    non-bucketed readers' split granularity (bucket files are fat)."""
+    import os
+    import uuid
+
+    tbl = f"ws_pages_mat_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(PAGES_BUCKETS, F.col("url"))  # 1 bucket file per task
+        .write.mode("overwrite")
+        .option("path", path)
+        .option("parquet.block.size", str(32 << 20))
+        .bucketBy(PAGES_BUCKETS, "url")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"DROP TABLE `{tbl}`")  # external (explicit path): files remain
+    with open(os.path.join(path, _BUCKET_MARKER), "w") as f:
+        f.write(str(PAGES_BUCKETS))
+
+
+def load_pages(spark: SparkSession, pages_path: str) -> tuple[DataFrame, bool]:
+    """Load the pages corpus, exploiting the bucketed layout when present.
+
+    Returns (pages, bucketed). A bucketed layout (written by
+    `materialize_corpus`, detected via its in-dir marker — never assumed,
+    since registering a bucket spec over non-bucketed files would silently
+    drop join rows) is registered as an external bucketed catalog table so
+    Catalyst plans url-equi-joins against it without exchanging the corpus
+    side. Plain directories fall back to a normal parquet read."""
+    import hashlib
+    import os
+
+    marker = os.path.join(pages_path, _BUCKET_MARKER)
+    if not os.path.exists(marker):
+        return spark.read.parquet(pages_path), False
+    with open(marker) as f:
+        n_buckets = int(f.read().strip())
+    name = "ws_pages_b_" + hashlib.md5(os.path.abspath(pages_path).encode()).hexdigest()[:10]
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE `{name}` (url STRING, warc_ts TIMESTAMP, html BINARY, "
+            f"text STRING, lang STRING) USING parquet CLUSTERED BY (url) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{os.path.abspath(pages_path)}'"
+        )
+    return spark.table(name), True
+
+
+def materialize_corpus(
+    spark: SparkSession, sf: float, out_dir: str, force: bool = False, bucketed: bool = True
+) -> dict[str, str]:
     """Write the four tables as parquet once; reuse across runs/benchmarks."""
     import os
 
@@ -421,12 +479,15 @@ def materialize_corpus(spark: SparkSession, sf: float, out_dir: str, force: bool
     marker = os.path.join(out_dir, "_COMPLETE")
     if not force and os.path.exists(marker):
         return paths
-    # Fine-grained files (1 row group each): scan-split granularity is capped
-    # at row-group count, and a corpus written as cores×1 files makes every
-    # downstream scan exactly 1 task/core — straggler-bound with no
-    # pipelining. 256 files gives ~8 tasks/core at local[32] at any sf.
-    n_files = 64 if p.n_details < 50_000 else 256
-    gen_pages(spark, p).repartition(n_files).write.mode("overwrite").parquet(paths["pages"])
+    if bucketed:
+        _write_bucketed_pages(spark, gen_pages(spark, p), paths["pages"])
+    else:
+        # Fine-grained files (1 row group each): scan-split granularity is
+        # capped at row-group count, and a corpus written as cores×1 files
+        # makes every downstream scan exactly 1 task/core — straggler-bound
+        # with no pipelining. 256 files gives ~8 tasks/core at local[32].
+        n_files = 64 if p.n_details < 50_000 else 256
+        gen_pages(spark, p).repartition(n_files).write.mode("overwrite").parquet(paths["pages"])
     gen_seeds(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["seeds"])
     gen_robots(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["robots"])
     gen_politeness(spark, p).coalesce(1).write.mode("overwrite").parquet(paths["politeness"])
