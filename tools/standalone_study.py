@@ -195,13 +195,23 @@ def main() -> None:
             order = (lo, hi) if rep % 2 == 0 else (hi, lo)
             rec: dict[int, dict] = {}
             for n_exec in order:
+                # Per-LEG membw probe (8s, recorded as context, never used to
+                # exclude): legs are minutes long and the host grant swings
+                # on a minutes timescale, so a rep-level gate can pass and a
+                # single leg still land in a degraded window — wide configs
+                # suffer disproportionately (round-3/4 analysis). The probe
+                # timestamps the window each leg actually got.
+                leg_membw = bench._membw_probe(8)
                 r = submit_crawl(n_exec, sf, 3, pyfiles)
                 r["urls_per_sec"] = round(r["urls"] / r["sec"], 1)
+                r["leg_membw_mbs"] = leg_membw
                 rec[n_exec] = r
                 print(json.dumps({"rep": rep, "n_executors": n_exec, **r}), flush=True)
             per_rep.append({
                 **gate,
                 f"sec_{lo}exec": rec[lo]["sec"], f"sec_{hi}exec": rec[hi]["sec"],
+                f"membw_before_{lo}exec": rec[lo]["leg_membw_mbs"],
+                f"membw_before_{hi}exec": rec[hi]["leg_membw_mbs"],
                 "n_exec_granted": [rec[lo].get("n_exec"), rec[hi].get("n_exec")],
                 "urls": rec[hi]["urls"],
                 "pair_eff": round((rec[lo]["sec"] / rec[hi]["sec"]) / ratio, 3),
