@@ -46,7 +46,16 @@ from webscraper_spark.functions.pricing import (  # noqa: E402
     variant_rows,
     with_car_pricing_inputs,
 )
-from webscraper_spark.functions.text import langid, quality_score, token_count, fingerprint64  # noqa: E402
+from webscraper_spark.functions.text import (  # noqa: E402
+    dup_token_frac,
+    fingerprint64,
+    langid,
+    quality_score,
+    token_count,
+    top_ngram_frac,
+    top_token_frac,
+)
+from webscraper_spark.operators.cluster import neardup_components  # noqa: E402
 from webscraper_spark.operators.dedup import (  # noqa: E402
     exact_duplicates,
     minhash_lsh_pairs,
@@ -587,6 +596,66 @@ SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tok
 FROM documents
+"""
+
+
+def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (top-token / duplicate-token / top-bigram
+    fractions) — per-doc, shuffle-free (sorted-array run-length fold inside
+    codegen; functions/text.py)."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_toks"),
+        F.round(top_token_frac(t), 6).alias("top_tok_frac"),
+        F.round(dup_token_frac(t), 6).alias("dup_tok_frac"),
+        F.round(top_ngram_frac(t, 2), 6).alias("top_bigram_frac"),
+    )
+
+
+# Independent DuckDB replay: unnest + group-by multiplicity counts (vs the
+# engine's sort+run-length fold — different algorithm, same answer).
+_SQL_REPETITION = """
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toked) GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n, count(*) AS n_distinct
+  FROM tok_counts GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' ')) END AS bgs
+  FROM toked
+),
+bi_counts AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM bi) GROUP BY doc_id, bg
+),
+bi_stats AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM bi_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(ts.n, 0) AS BIGINT) AS n_toks,
+       round(CASE WHEN coalesce(ts.n, 0) = 0 THEN 0.0
+                  ELSE ts.top_c::DOUBLE / ts.n END, 6) AS top_tok_frac,
+       round(CASE WHEN coalesce(ts.n, 0) = 0 THEN 0.0
+                  ELSE (ts.n - ts.n_distinct)::DOUBLE / ts.n END, 6) AS dup_tok_frac,
+       round(CASE WHEN coalesce(bs.n, 0) = 0 THEN 0.0
+                  ELSE bs.top_c::DOUBLE / bs.n END, 6) AS top_bigram_frac
+FROM toked t
+LEFT JOIN tok_stats ts USING (doc_id)
+LEFT JOIN bi_stats bs USING (doc_id)
 """
 
 
@@ -1154,6 +1223,43 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5::DOUBLE
 """
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH pair graph -> connected
+    components (large-star/small-star, operators/cluster.py) -> every doc
+    labelled with its cluster's canonical min doc_id (singletons map to
+    themselves — the keep-set is doc_id == component_id)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return neardup_components(pairs, docs, "doc_id")
+
+
+def _sql_neardup_clusters() -> str:
+    """Full independent replay: the entire minhash-LSH pair pipeline (nested
+    WITH, zero shared code with the engine) + a recursive-CTE transitive
+    closure taking min reachable id per doc — verifies the O(log n)
+    star-contraction against plain fixpoint reachability."""
+    inner = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE doc_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id < 20
+),
+pairs AS ({inner}),
+cc_edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM doc_ids
+  UNION
+  SELECT e.u, w.comp FROM walk w JOIN cc_edges e ON e.v = w.id
+)
+SELECT id AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY id
+"""
+
+
 # FNV-1a 64-bit over ASCII chars, HUGEINT mod-2^64 arithmetic (the xor only
 # touches the low byte, so it stays in BIGINT range).
 _SQL_FNV = (
@@ -1537,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_stopwords": _q_langid,
         "embedding_cosine_topk": _q_embedding_topk,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "neardup_clusters": _q_neardup_clusters,
+        "repetition_metrics": _q_repetition_metrics,
         "simhash_pairs": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "embedding_lsh_ann": _q_ann_lsh,
@@ -1580,6 +1688,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_stopwords": _SQL_LANGID,
         "embedding_cosine_topk": _SQL_EMBEDDING_TOPK,
         "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "neardup_clusters": _sql_neardup_clusters(),
+        "repetition_metrics": _SQL_REPETITION,
         "simhash_pairs": _sql_simhash(),
         "doc_fingerprint": _sql_fingerprint(),
         "embedding_lsh_ann": _sql_ann_lsh(),

@@ -87,6 +87,63 @@ def langid(text: Column) -> Column:
     return out
 
 
+def ngrams_all(text: Column, n: int = 2) -> Column:
+    """All word n-grams WITH multiplicity (unlike dedup.shingles, which
+    dedups) — repetition metrics need the counts. '' or <n tokens -> []."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _max_run_frac(arr: Column) -> Column:
+    """Fraction of the array occupied by its most frequent element, computed
+    shuffle-free: sort the array, then fold a (prev, run, best) accumulator
+    over it — the longest run of a sorted array IS the max multiplicity.
+    Stays inside codegen: no explode, no groupBy, no Python."""
+    srt = F.array_sort(arr)
+    zero = F.lit(0).cast("long")
+    best = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(best.cast("double") / n)
+
+
+def top_token_frac(text: Column) -> Column:
+    """Gopher-style repetition gate: fraction of tokens that are the single
+    most frequent token (high -> degenerate/repetitive text)."""
+    return _max_run_frac(tokens(text))
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams occupied by the most frequent n-gram."""
+    return _max_run_frac(ngrams_all(text, n))
+
+
+def dup_token_frac(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total); 0.0 for empty text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return F.when(n <= 0, F.lit(0.0)).otherwise((n - d).cast("double") / n)
+
+
 def doc_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
     """Winnowing-style fingerprint: the k smallest n-gram shingle hashes
     (sorted) — stable under small edits, array<long>."""
