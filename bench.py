@@ -506,7 +506,7 @@ def main() -> None:
         "sessionize_events", "exact_dedup_groups", "minhash_lsh_pairs",
         "quality_score", "langid_stopwords", "embedding_cosine_topk",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
-        "simhash_pairs", "token_count",
+        "simhash_pairs", "token_count", "neardup_clusters", "repetition_metrics",
     ]
     # Min over reps per query: single-shot numbers on this shared host swing
     # 2-3x with neighbour load (see scaling notes), and the first run of a
@@ -516,6 +516,7 @@ def main() -> None:
     udf_bound = {
         "minhash_lsh_pairs", "simhash_pairs", "embedding_cosine_topk",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
+        "neardup_clusters",
     }
     base_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     for name in bench_queries:
