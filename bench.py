@@ -375,21 +375,20 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     Probe windows are 8s (round-3 advice: 4s probes timestamping multi-minute
     runs produced normalized efficiencies >1.2; even at 8s the per-rep
     hw_eff/membw_eff columns are CONTEXT about the host window, not part of
-    the headline estimator, which is raw pair_eff only)."""
+    the headline estimator, which is raw pair_eff only).
+
+    Tiebreak rep: when exactly two reps ran and their pair_effs disagree by
+    more than 0.25 (the signature of a co-tenant landing on ONE leg of ONE
+    pair — observed live: a 4N leg at 263.8s next to an 89.6s rep), one
+    extra rep is run (deadline permitting) so the median is a median-of-3
+    that an outlier on EITHER side cannot drag. Every rep stays listed —
+    this widens the sample on measured disagreement, it never drops data."""
     ratio = n_hi / n_lo
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     per_rep = []
     deadline_hit = False
-    for rep in range(reps):
-        # Deadline guard (rep 0 always runs): a bad host window can double
-        # every run's wall clock; dropping later reps keeps the DEFAULT
-        # invocation inside the driver's execution budget with a complete
-        # JSON (round 3 lost its whole artifact to rc=124).
-        if deadline is not None and rep > 0 and time.time() > deadline:
-            deadline_hit = True
-            print(f"[bench] deadline reached; stopping {n_lo}v{n_hi} study "
-                  f"after {rep} rep(s)", file=sys.stderr)
-            break
+
+    def _one_rep(rep: int) -> None:
         extra_rec = pre_rep(rep) if pre_rep is not None else {}
         hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
         mem = {n: _membw_probe(n) for n in (n_lo, n_hi)}
@@ -414,6 +413,26 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         })
         if on_rep is not None:
             on_rep(per_rep)
+
+    for rep in range(reps):
+        # Deadline guard (rep 0 always runs): a bad host window can double
+        # every run's wall clock; dropping later reps keeps the DEFAULT
+        # invocation inside the driver's execution budget with a complete
+        # JSON (round 3 lost its whole artifact to rc=124).
+        if deadline is not None and rep > 0 and time.time() > deadline:
+            deadline_hit = True
+            print(f"[bench] deadline reached; stopping {n_lo}v{n_hi} study "
+                  f"after {rep} rep(s)", file=sys.stderr)
+            break
+        _one_rep(rep)
+    tiebreak = (len(per_rep) == 2
+                and abs(per_rep[0]["pair_eff"] - per_rep[1]["pair_eff"]) > 0.25
+                and (deadline is None or time.time() < deadline))
+    if tiebreak:
+        print(f"[bench] {n_lo}v{n_hi} pair_effs disagree by "
+              f"{abs(per_rep[0]['pair_eff'] - per_rep[1]['pair_eff']):.3f} "
+              f"(>0.25): running a tiebreak rep", file=sys.stderr)
+        _one_rep(len(per_rep))
     results = {}
     for cores in (n_lo, n_hi):
         best = min(runs[cores], key=lambda r: r["sec"])
@@ -425,7 +444,7 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     membw_eff = _median([p["membw_eff"] for p in per_rep])
     return {
         "n_lo": n_lo, "n_hi": n_hi, "reps_requested": reps,
-        "deadline_hit": deadline_hit,
+        "deadline_hit": deadline_hit, "tiebreak_rep": tiebreak,
         f"local{n_lo}": results[n_lo],
         f"local{n_hi}": results[n_hi],
         "per_rep": per_rep,
