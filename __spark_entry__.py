@@ -47,9 +47,14 @@ from webscraper_spark.functions.pricing import (  # noqa: E402
     with_car_pricing_inputs,
 )
 from webscraper_spark.functions.text import (  # noqa: E402
+    PII_PATTERNS,
+    PII_PLACEHOLDERS,
+    curation_decision,
     dup_token_frac,
     fingerprint64,
     langid,
+    pii_count,
+    pii_scrub,
     quality_score,
     token_count,
     top_ngram_frac,
@@ -58,8 +63,11 @@ from webscraper_spark.functions.text import (  # noqa: E402
 from webscraper_spark.operators.cluster import neardup_components  # noqa: E402
 from webscraper_spark.operators.dedup import (  # noqa: E402
     exact_duplicates,
+    h60,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
+    tokens,
 )
 from webscraper_spark.operators.simsearch import (  # noqa: E402
     brute_force_topk,
@@ -718,6 +726,189 @@ FROM (
          {_sql_stop_ratio('es')} AS r_es, {_sql_stop_ratio('fr')} AS r_fr
   FROM documents
 )
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted shingle index ->
+    pair-intersection counts -> |A∩B|/|A∪B|) — the exact variant the LSH
+    path approximates; L4 in SURVEY §2.10."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    p = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_ngram_jaccard() -> str:
+    """Independent DuckDB replay of the inverted-index exact Jaccard (same
+    guarded shingle CTE the minhash oracle uses; the threshold filters the
+    UNROUNDED ratio exactly like the engine, rounding only the output)."""
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5::DOUBLE
+"""
+
+
+def _planted_pii_suffix_spark():
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(" contact user"), sid, F.lit("@crawl-example.com or admin"), sid,
+        F.lit("@web.example.org from host 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 200).cast("string"), F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +4915"), (F.col("doc_id") % 100000 + 100000).cast("string"),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: per-pattern match counts on the raw text +
+    md5 of the scrubbed text (email -> [EMAIL], ipv4 -> [IP], phone ->
+    [PHONE]) — all chained codegen regexps, no Python. The synthetic corpus
+    carries no PII, so every 5th doc gets a deterministic planted contact
+    line (2 emails, 1 ipv4, 1 phone) built identically in the oracle."""
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), _planted_pii_suffix_spark()))
+        .otherwise(F.col("text")),
+    )
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        pii_count(t, "email").alias("n_email"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        pii_count(t, "phone").alias("n_phone"),
+        F.md5(pii_scrub(t)).alias("scrub_md5"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    # Built by concatenation, not f-string: the regexes contain {m,n}
+    # quantifier braces. Single-quoted DuckDB strings pass backslashes
+    # through verbatim, and the simple ASCII patterns parse identically in
+    # RE2 and Java regex (no lookaround/backreferences).
+    em, ip, ph = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    scrub = ("regexp_replace(regexp_replace(regexp_replace(text, '" + em + "', '"
+             + PII_PLACEHOLDERS["email"] + "', 'g'), '" + ip + "', '"
+             + PII_PLACEHOLDERS["ipv4"] + "', 'g'), '" + ph + "', '"
+             + PII_PLACEHOLDERS["phone"] + "', 'g')")
+    return """
+WITH pii_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@crawl-example.com or admin' || CAST(doc_id AS VARCHAR)
+              || '@web.example.org from host 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 200 AS VARCHAR)
+              || '.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' tel +4915' || CAST(doc_id % 100000 + 100000 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '""" + em + """')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '""" + ip + """')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '""" + ph + """')) AS BIGINT) AS n_phone,
+       md5(""" + scrub + """) AS scrub_md5
+FROM pii_docs
+"""
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency dictionary, top 100 by (count desc, token asc).
+    Scale path: explode -> hash-aggregate (map-side combinable) ->
+    TakeOrderedAndProject (per-partition partial top-k, no global sort);
+    the row_number window runs over only the 100 surviving rows."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select("rank", "tok", "cnt")
+
+
+_SQL_VOCAB_TOPK = r"""
+WITH toked AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS tok FROM toked) GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank, tok, cnt
+FROM counts
+QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 100
+"""
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10 by
+    h60('split:'||doc_id) mod 100) — reproducible across runs and engines,
+    no RNG; aggregated to per-split doc and char totals."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    b = h60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _sql_dataset_split() -> str:
+    # Function (not module-level f-string): _sql_h60 is defined further down.
+    return f"""
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n_chars
+  FROM (SELECT {_sql_h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b, n_chars FROM documents)
+) GROUP BY split
+"""
+
+
+def _q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining curation filter chain as one decision column: first
+    failing rule of quality >= 0.5, top-token-frac <= 0.35, dup-token-frac
+    <= 0.75 (functions/text.py curation_decision) — the keep/drop verdict a
+    corpus-curation job writes next to each document."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    dec = curation_decision(F.col("text"))
+    return d.select(
+        "doc_id", dec.alias("verdict"), (dec == "keep").cast("long").alias("keep"),
+    )
+
+
+def _sql_curation_decision() -> str:
+    """Composes the (independently algorithmically different) quality and
+    repetition oracles and replays the first-failing-rule chain."""
+    return f"""
+WITH q AS ({_SQL_QUALITY}),
+r AS ({_SQL_REPETITION}),
+v AS (
+  SELECT q.doc_id,
+         CASE WHEN q.quality < 0.5::DOUBLE THEN 'low_quality'
+              WHEN r.top_tok_frac > 0.35::DOUBLE THEN 'repetitive_top_token'
+              WHEN r.dup_tok_frac > 0.75::DOUBLE THEN 'repetitive_dup_tokens'
+              ELSE 'keep' END AS verdict
+  FROM q JOIN r ON q.doc_id = r.doc_id
+)
+SELECT doc_id, verdict, CAST(verdict = 'keep' AS BIGINT) AS keep FROM v
 """
 
 
@@ -1638,6 +1829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_metrics_agg": _q_wave_metrics,
         "running_total_window": _q_running_sum,
         "exact_dedup_groups": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "pii_scrub": _q_pii_scrub,
+        "vocab_topk": _q_vocab_topk,
+        "dataset_split": _q_dataset_split,
+        "curation_decision": _q_curation_decision,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "langid_stopwords": _q_langid,
@@ -1683,6 +1879,11 @@ def oracle_sql() -> dict[str, str]:
         "wave_metrics_agg": _SQL_WAVE_METRICS,
         "running_total_window": _SQL_RUNNING_SUM,
         "exact_dedup_groups": _SQL_EXACT_DEDUP,
+        "ngram_jaccard_pairs": _sql_ngram_jaccard(),
+        "pii_scrub": _sql_pii_scrub(),
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "dataset_split": _sql_dataset_split(),
+        "curation_decision": _sql_curation_decision(),
         "token_count": _SQL_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY,
         "langid_stopwords": _SQL_LANGID,

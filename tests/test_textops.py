@@ -390,3 +390,75 @@ def test_multimodal_resize_plan(spark):
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(Exception, match="NotImplementedError|real image resize"):
             resize_plan(media, require_real_resizer=True).collect()
+
+
+def test_pii_scrub_and_counts(spark):
+    """pii_count / pii_scrub vs a hand-checked fixture: counts per pattern
+    on the raw text, placeholders in the scrubbed text, non-PII text
+    untouched (functions/text.py PII_PATTERNS)."""
+    from webscraper_spark.functions.text import pii_count, pii_scrub
+
+    rows = [
+        (0, "write to alice.smith+x@mail.example.com or bob@ex.org today"),
+        (1, "server at 192.168.0.1 and 10.0.255.254 responded"),
+        (2, "call +491511234567 now"),
+        (3, "no pii here, just 1.2 version numbers and a@b (not an email)"),
+        (4, "mixed: c@d.io from 8.8.8.8 tel +12345678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count(t, "email").alias("ne"),
+            pii_count(t, "ipv4").alias("ni"),
+            pii_count(t, "phone").alias("np"),
+            pii_scrub(t).alias("scrubbed"),
+        ).collect()
+    }
+    assert (got[0].ne, got[0].ni, got[0].np) == (2, 0, 0)
+    assert got[0].scrubbed == "write to [EMAIL] or [EMAIL] today"
+    assert (got[1].ne, got[1].ni, got[1].np) == (0, 2, 0)
+    assert got[1].scrubbed == "server at [IP] and [IP] responded"
+    assert (got[2].ne, got[2].ni, got[2].np) == (0, 0, 1)
+    assert got[2].scrubbed == "call [PHONE] now"
+    assert (got[3].ne, got[3].ni, got[3].np) == (0, 0, 0)
+    assert got[3].scrubbed == rows[3][1]  # untouched
+    assert (got[4].ne, got[4].ni, got[4].np) == (1, 1, 1)
+    assert got[4].scrubbed == "mixed: [EMAIL] from [IP] tel [PHONE]"
+
+
+def test_curation_decision_first_failing_rule(spark, docs):
+    """curation_decision returns the FIRST failing rule and agrees with the
+    individually-oracled component metrics on the real sf0.01 corpus."""
+    from webscraper_spark.functions.text import (
+        curation_decision,
+        dup_token_frac,
+        quality_score,
+        top_token_frac,
+    )
+
+    t = F.col("text")
+    rows = docs.select(
+        "doc_id",
+        curation_decision(t).alias("verdict"),
+        quality_score(t, "en").alias("q"),
+        F.round(top_token_frac(t), 6).alias("tt"),
+        F.round(dup_token_frac(t), 6).alias("dt"),
+    ).collect()
+    assert len(rows) > 0
+    n_keep = 0
+    for r in rows:
+        if r.q < 0.5:
+            want = "low_quality"
+        elif r.tt > 0.35:
+            want = "repetitive_top_token"
+        elif r.dt > 0.75:
+            want = "repetitive_dup_tokens"
+        else:
+            want = "keep"
+            n_keep += 1
+        assert r.verdict == want, (r.doc_id, r.verdict, want, r.q, r.tt, r.dt)
+    # the corpus must exercise the keep path and at least one drop path
+    assert 0 < n_keep < len(rows)

@@ -144,6 +144,54 @@ def dup_token_frac(text: Column) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise((n - d).cast("double") / n)
 
 
+# --------------------------------------------------------------------------
+# PII scrub — a pretraining pipeline redacts contact data before training.
+# Patterns are deliberately simple ASCII regexes that parse identically in
+# Java regex (Spark codegen) and RE2 (DuckDB oracle): no lookaround, no
+# backreferences. Counting runs per-pattern on the ORIGINAL text; scrubbing
+# chains replacements email -> ipv4 -> phone (placeholders are letter-only,
+# so a replacement can never create a later pattern's match).
+# --------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,14}",
+}
+PII_PLACEHOLDERS = {"email": "[EMAIL]", "ipv4": "[IP]", "phone": "[PHONE]"}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern in the raw text."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast("long")
+
+
+def pii_scrub(text: Column) -> Column:
+    """Text with every PII match replaced by its placeholder (codegen-native
+    chained regexp_replace — runs over every document at corpus scale)."""
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], PII_PLACEHOLDERS[kind])
+    return out
+
+
+def curation_decision(text: Column, lang: str = "en", quality_min: float = 0.5,
+                      top_tok_max: float = 0.35, dup_tok_max: float = 0.75) -> Column:
+    """First-failing-rule curation verdict for a pretraining filter chain:
+    'low_quality' | 'repetitive_top_token' | 'repetitive_dup_tokens' | 'keep'.
+    Composes the oracled quality + repetition gates into the single decision
+    column a corpus-curation job writes alongside each document."""
+    # Gates compare 6-rounded values (quality_score already rounds): the
+    # DuckDB oracle recomputes the same fractions by a different algorithm,
+    # and an unrounded threshold comparison could flip on the last ulp.
+    return (
+        F.when(quality_score(text, lang) < quality_min, F.lit("low_quality"))
+        .when(F.round(top_token_frac(text), 6) > top_tok_max, F.lit("repetitive_top_token"))
+        .when(F.round(dup_token_frac(text), 6) > dup_tok_max, F.lit("repetitive_dup_tokens"))
+        .otherwise(F.lit("keep"))
+    )
+
+
 def doc_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
     """Winnowing-style fingerprint: the k smallest n-gram shingle hashes
     (sorted) — stable under small edits, array<long>."""
