@@ -69,6 +69,10 @@ from webscraper_spark.operators.dedup import (  # noqa: E402
     simhash_pairs,
     tokens,
 )
+from webscraper_spark.operators.pack import (  # noqa: E402
+    pack_sequences,
+    stratified_sample,
+)
 from webscraper_spark.operators.simsearch import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
@@ -879,6 +883,66 @@ FROM (
   SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n_chars
   FROM (SELECT {_sql_h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b, n_chars FROM documents)
 ) GROUP BY split
+"""
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sequence packing (operators/pack.py): docs hash-sharded
+    8 ways, laid end-to-end per shard in doc_id order, assigned to
+    512-token packs by running-sum arithmetic — the standard parallel
+    approximation of greedy packing (parallelism == n_shards)."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return pack_sequences(d, context_len=512, n_shards=8)
+
+
+def _sql_sequence_packing() -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         {_sql_h60("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM toked
+)
+SELECT doc_id, shard, CAST(floor(tokens_before / 512) AS BIGINT) AS pack_id,
+       CAST(tokens_before % 512 AS BIGINT) AS pack_offset, n_tokens
+FROM cum
+"""
+
+
+# Binary-exact rates only (0.25/0.5/0.75): int(rate * 1e6) must round the
+# same way in both engines' literal folding.
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix downsample (operators/pack.py): keep a doc
+    iff h60('mix:'||doc_id) mod 1e6 < rate(source)*1e6; unlisted sources
+    keep everything. Returns the kept (doc_id, source) set so the gate
+    value-hashes every sampling decision."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return stratified_sample(d, _MIX_RATES).select("doc_id", "source")
+
+
+def _sql_domain_mix() -> str:
+    arms = " ".join(
+        f"WHEN source = '{src}' THEN b < {int(rate * 1_000_000)}"
+        for src, rate in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         {_sql_h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+  FROM documents
+)
+WHERE CASE {arms} ELSE TRUE END
 """
 
 
@@ -1834,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "dataset_split": _q_dataset_split,
         "curation_decision": _q_curation_decision,
+        "sequence_packing": _q_sequence_packing,
+        "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "langid_stopwords": _q_langid,
@@ -1884,6 +1950,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "dataset_split": _sql_dataset_split(),
         "curation_decision": _sql_curation_decision(),
+        "sequence_packing": _sql_sequence_packing(),
+        "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY,
         "langid_stopwords": _SQL_LANGID,

@@ -526,6 +526,11 @@ def main() -> None:
         "quality_score", "langid_stopwords", "embedding_cosine_topk",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
         "simhash_pairs", "token_count", "neardup_clusters", "repetition_metrics",
+        "pii_scrub", "vocab_topk", "dataset_split", "curation_decision",
+        # ngram_jaccard_pairs deliberately absent: it's the exact
+        # small-scale verification variant (the synthetic corpus's 31-word
+        # vocab makes shingles collide heavily); minhash_lsh_pairs is the
+        # benchmarked scale path.
     ]
     # Min over reps per query: single-shot numbers on this shared host swing
     # 2-3x with neighbour load (see scaling notes), and the first run of a

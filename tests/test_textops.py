@@ -462,3 +462,57 @@ def test_curation_decision_first_failing_rule(spark, docs):
         assert r.verdict == want, (r.doc_id, r.verdict, want, r.q, r.tt, r.dt)
     # the corpus must exercise the keep path and at least one drop path
     assert 0 < n_keep < len(rows)
+
+
+def test_sequence_packing_arithmetic_and_parallelism_invariance(spark):
+    """pack_sequences vs a hand-rolled python oracle, and bit-stability
+    across repartitioning (the in-shard order key is doc_id, never
+    partition order)."""
+    import hashlib
+
+    from webscraper_spark.operators.pack import pack_sequences
+
+    rows = [(i, "tok " * ((i * 37) % 100 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(df, context_len=64, n_shards=4).collect()}
+    assert len(got) == 200
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_shard: dict[int, list[int]] = {}
+    for i, _t in rows:
+        by_shard.setdefault(h60(f"pack:{i}") % 4, []).append(i)
+    for shard, ids in by_shard.items():
+        before = 0
+        for i in sorted(ids):
+            n_tok = (i * 37) % 100 + 1
+            r = got[i]
+            assert (r.shard, r.pack_id, r.pack_offset, r.n_tokens) == (
+                shard, before // 64, before % 64, n_tok,
+            ), (i, r)
+            before += n_tok
+
+    again = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+        for r in pack_sequences(df.repartition(13), context_len=64, n_shards=4).collect()
+    }
+    assert again == {k: (v.shard, v.pack_id, v.pack_offset) for k, v in got.items()}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """domain-mix sampling keeps ~rate per listed source, everything for
+    unlisted sources, and the same rows on every run."""
+    from webscraper_spark.operators.pack import stratified_sample
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 0.25, "src1": 0.5}
+    kept = stratified_sample(df, rates).groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    assert by_src["src2"] == 1000 and by_src["src3"] == 1000  # unlisted: all
+    assert abs(by_src["src0"] - 250) < 60, by_src
+    assert abs(by_src["src1"] - 500) < 80, by_src
+    ids1 = {r.doc_id for r in stratified_sample(df, rates).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in stratified_sample(df.repartition(7), rates).select("doc_id").collect()}
+    assert ids1 == ids2
