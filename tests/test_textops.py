@@ -516,3 +516,27 @@ def test_stratified_sample_rates_and_determinism(spark):
     ids1 = {r.doc_id for r in stratified_sample(df, rates).select("doc_id").collect()}
     ids2 = {r.doc_id for r in stratified_sample(df.repartition(7), rates).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate(spark):
+    """max_df posting-list cap: a boilerplate prefix shared by every doc
+    stops generating candidate pairs, planted near-dups survive, and
+    jaccard is recomputed over the filtered (discriminative) feature
+    space."""
+    boiler = " ".join(f"boiler{k}" for k in range(40)) + " "
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}t{j}" for j in range(20))
+        rows.append((i, boiler + body))
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs(df, threshold=0.3)
+    # every doc shares the boilerplate shingles: lots of low-jaccard pairs
+    assert exact.count() > 1
+
+    capped = ngram_jaccard_pairs(df, threshold=0.3, max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # only the planted dup survives, at jaccard 1.0 over discriminative shingles
+    assert set(got) == {(0, 100)}, got
+    assert got[(0, 100)] == pytest.approx(1.0)

@@ -175,14 +175,34 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the small-scale oracle path):
     inverted index on shingles -> pair counts -> |A∩B| / (|A|+|B|-|A∩B|).
-    This is the shuffle-heavy exact variant; LSH above is the scale path."""
+    This is the shuffle-heavy exact variant; LSH above is the scale path.
+
+    ``max_df``: drop shingles whose document frequency exceeds it before
+    the self-join — the standard posting-list cap for inverted-index
+    similarity at corpus scale. A shingle shared by d docs contributes
+    d(d-1)/2 join rows, so one boilerplate shingle (navbars, license
+    headers) makes the exact variant quadratic in corpus size; capped,
+    the join cost is bounded by max_df^2 per distinct shingle. With the
+    cap, Jaccard is computed over the *discriminative* feature space
+    (per-doc set sizes are recomputed after the filter — stop-shingle
+    removal, not an intersection-only lower bound). None = exact."""
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        rare = inv.groupBy("g").agg(F.count("*").alias("df_g")).filter(F.col("df_g") <= max_df)
+        inv = inv.join(rare.select("g"), "g")
+        sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     pair_inter = (
