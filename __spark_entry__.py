@@ -65,6 +65,7 @@ from webscraper_spark.operators.dedup import (  # noqa: E402
     exact_duplicates,
     h60,
     minhash_lsh_pairs,
+    contamination_overlap,
     ngram_jaccard_pairs,
     simhash_pairs,
     tokens,
@@ -761,6 +762,88 @@ FROM pair_inter p
 JOIN sizes sa ON sa.doc_id = p.id_a
 JOIN sizes sb ON sb.doc_id = p.id_b
 WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5::DOUBLE
+"""
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (L22 in SURVEY §2.10): flag training docs
+    whose word 5-grams overlap a deterministic ~1% 'benchmark' slice
+    (doc_id % 97 == 0) of the corpus. Eval grams broadcast; the training
+    side never shuffles for the membership test (operators/dedup.py
+    contamination_overlap)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_overlap(docs, ev, n=5)
+    return out.select(
+        "doc_id", "n_sh", "hits", F.round("contam_frac", 6).alias("contam_frac")
+    )
+
+
+def _sql_contamination() -> str:
+    """Independent DuckDB replay: same tokenization/shingle CTE shape as the
+    jaccard oracle but at n=5, eval = doc_id % 97 = 0."""
+    return """
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 4),
+                                  i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+  FROM toked
+),
+ev_grams AS (
+  SELECT DISTINCT unnest(sh) AS g FROM shingled WHERE doc_id % 97 = 0
+),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM shingled)
+SELECT inv.doc_id, inv.n_sh, count(*) AS hits,
+       round(count(*)::DOUBLE / inv.n_sh, 6) AS contam_frac
+FROM inv JOIN ev_grams USING (g)
+GROUP BY inv.doc_id, inv.n_sh
+"""
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top-3 keyterms (L23 in SURVEY §2.10) with the
+    rational BM25-style idf — scores built only from IEEE +,-,*,/ so the
+    gate can hash-compare the doubles (operators/keyterms.py)."""
+    from webscraper_spark.operators.keyterms import tfidf_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = tfidf_topk(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _sql_tfidf_topk() -> str:
+    return """
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         tf.tf::DOUBLE * ((SELECT n FROM nd) - dft.df::DOUBLE + 0.5::DOUBLE)
+             / (dft.df::DOUBLE + 0.5::DOUBLE) AS score
+  FROM tf JOIN dft USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 3
 """
 
 
@@ -1894,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_window": _q_running_sum,
         "exact_dedup_groups": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "contamination_check": _q_contamination,
+        "tfidf_topk": _q_tfidf_topk,
         "pii_scrub": _q_pii_scrub,
         "vocab_topk": _q_vocab_topk,
         "dataset_split": _q_dataset_split,
@@ -1946,6 +2031,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total_window": _SQL_RUNNING_SUM,
         "exact_dedup_groups": _SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": _sql_ngram_jaccard(),
+        "contamination_check": _sql_contamination(),
+        "tfidf_topk": _sql_tfidf_topk(),
         "pii_scrub": _sql_pii_scrub(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "dataset_split": _sql_dataset_split(),

@@ -540,3 +540,53 @@ def test_ngram_jaccard_max_df_drops_boilerplate(spark):
     # only the planted dup survives, at jaccard 1.0 over discriminative shingles
     assert set(got) == {(0, 100)}, got
     assert got[(0, 100)] == pytest.approx(1.0)
+
+
+def test_contamination_overlap_flags_eval_members(spark):
+    """Docs that ARE in the eval set flag at frac 1.0; a doc sharing half
+    its shingle space flags partially; disjoint docs don't appear."""
+    from webscraper_spark.operators.dedup import contamination_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # eval member -> frac 1.0
+            (2, "a b c d x y"),          # shares the 'a b c d' prefix grams
+            (3, "p q r s t u"),          # disjoint -> absent
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_overlap(train, ev, n=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].hits == got[1].n_sh and got[1].contam_frac == 1.0
+    # doc 2 shingles(n=3): {abc, bcd, cdx, dxy}; eval grams {abc,bcd,cde,def}
+    assert got[2].n_sh == 4 and got[2].hits == 2
+    assert got[2].contam_frac == pytest.approx(0.5)
+
+
+def test_tfidf_topk_ranks_discriminative_terms(spark):
+    """Each doc's unique term outranks the corpus-wide term; scores match
+    the rational-idf formula exactly; ties break on term asc."""
+    from webscraper_spark.operators.keyterms import tfidf_topk
+
+    rows = [(i, f"common common uniq{i} uniq{i} uniq{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n = 4.0
+    for i in range(4):
+        terms = sorted(by_doc[i], key=lambda r: r.rank)
+        assert [r.term for r in terms] == [f"uniq{i}", "common"]
+        # uniq: tf=3, df=1 -> 3*(4-1+0.5)/1.5 = 7.0; common: tf=2, df=4 -> 2*0.5/4.5
+        assert terms[0].score == pytest.approx(3 * (n - 1 + 0.5) / 1.5)
+        assert terms[1].score == pytest.approx(2 * (n - 4 + 0.5) / 4.5)
+    # diamond materialized: both the df aggregate and the join probe read
+    # the cached tf relation instead of recomputing the token explode
+    out2 = tfidf_topk(df, k=2)
+    assert out2._tf_cache.is_cached
+    s = out2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert s.count("InMemoryTableScan") >= 2, s
+    out2._tf_cache.unpersist()

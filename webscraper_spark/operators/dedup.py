@@ -220,6 +220,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-gram shingles occur in ANY eval-set document (the
+    GPT-3/PaLM n-gram-overlap contamination check; typically n=8..13).
+
+    Returns (doc_id, n_sh, hits, contam_frac) for documents with hits >= 1;
+    contam_frac = hits / n_sh is an exact integer ratio, reproducible
+    bit-for-bit by any IEEE-754 engine.
+
+    Scale design: the eval side is the small one (benchmarks are thousands
+    of docs -> at most a few million distinct grams), so its distinct gram
+    set is BROADCAST and the 100 TB training side never shuffles for the
+    membership test — explode -> broadcast hash semi-join (the hash map is
+    built once per task, probed O(1) per gram). The per-doc re-aggregation
+    partially combines map-side, so the only shuffle moves <= one row per
+    (contaminated doc x partition)."""
+    ev_grams = eval_set.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    tr = train.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    hits = (
+        tr.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("hits"))
+    )
+    return hits.select(
+        "doc_id", "n_sh", "hits",
+        (F.col("hits").cast("double") / F.col("n_sh")).alias("contam_frac"),
+    )
+
+
 _SWEEP_CAP = 4096  # bytes of column-sweep before falling back per-token
 
 
