@@ -847,6 +847,87 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level repeated-span removal (L24 in SURVEY §2.10):
+    10-token blocks, any block with corpus df>=2 dropped everywhere, docs
+    reassembled in order (operators/dedup.py span_dedup — chunking inside
+    codegen, map-side-combinable block frequency, anti-join removal).
+    Exact integer/string output; cf. C4 (Raffel et al. 2020 §2.2)."""
+    from webscraper_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return span_dedup(docs, block=10, min_df=2)
+
+
+_SQL_SPAN_DEDUP = r"""
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, g.bi::BIGINT AS bi,
+         array_to_string(toks[g.bi*10+1 : g.bi*10+10], ' ') AS blk
+  FROM toked, LATERAL (SELECT unnest(range((len(toks)+9)//10)) AS bi) g
+),
+boiler AS (SELECT blk FROM blocks GROUP BY blk HAVING count(*) >= 2),
+kept AS (SELECT b.* FROM blocks b ANTI JOIN boiler USING (blk)),
+reasm AS (
+  SELECT doc_id, string_agg(blk, ' ' ORDER BY bi) AS clean_text,
+         count(*) AS blocks_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, (len(toks)+9)//10 AS blocks_total FROM toked)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.blocks_kept, 0)::BIGINT AS blocks_kept,
+       (t.blocks_total - coalesce(r.blocks_kept, 0))::BIGINT AS blocks_removed
+FROM totals t LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (change-rate x staleness,
+    Cho & Garcia-Molina 2003 proportional policy) ranked per host shard
+    (operators/freshness.py). The events table is the fetch-observation
+    log; all time math is exact unix_micros integers so the doubles are
+    bit-reproducible in the gate."""
+    from webscraper_spark.operators.freshness import recrawl_priority
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("user_id").alias("page_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    return recrawl_priority(ev)
+
+
+_SQL_RECRAWL = """
+WITH obs AS (SELECT user_id AS page_id, epoch_us(ts) AS us, event_type FROM events),
+per_page AS (
+  SELECT page_id, count(*) AS n_obs,
+         sum(CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+         min(us) AS first_us, max(us) AS last_us
+  FROM obs GROUP BY page_id
+),
+nowt AS (SELECT max(us) AS now_us FROM obs),
+scored AS (
+  SELECT page_id, n_obs, n_changes,
+         greatest((last_us - first_us) / 86400000000.0, 1.0) AS span_days,
+         n_changes / greatest((last_us - first_us) / 86400000000.0, 1.0) AS change_rate,
+         (now_us - last_us) / 86400000000.0 AS staleness_days,
+         (page_id % 10)::BIGINT AS host
+  FROM per_page, nowt
+)
+SELECT page_id, host, n_obs, n_changes, span_days, change_rate, staleness_days,
+       change_rate * staleness_days AS priority,
+       row_number() OVER (PARTITION BY host
+                          ORDER BY change_rate * staleness_days DESC, page_id) AS host_rank
+FROM scored
+"""
+
+
 def _planted_pii_suffix_spark():
     sid = F.col("doc_id").cast("string")
     return F.concat(
@@ -1979,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "contamination_check": _q_contamination,
         "tfidf_topk": _q_tfidf_topk,
+        "span_dedup": _q_span_dedup,
+        "recrawl_priority": _q_recrawl_priority,
         "pii_scrub": _q_pii_scrub,
         "vocab_topk": _q_vocab_topk,
         "dataset_split": _q_dataset_split,
@@ -2033,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _sql_ngram_jaccard(),
         "contamination_check": _sql_contamination(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "span_dedup": _SQL_SPAN_DEDUP,
+        "recrawl_priority": _SQL_RECRAWL,
         "pii_scrub": _sql_pii_scrub(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "dataset_split": _sql_dataset_split(),

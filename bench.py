@@ -527,7 +527,7 @@ def main() -> None:
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
         "simhash_pairs", "token_count", "neardup_clusters", "repetition_metrics",
         "pii_scrub", "vocab_topk", "dataset_split", "curation_decision",
-        "contamination_check", "tfidf_topk",
+        "contamination_check", "tfidf_topk", "span_dedup", "recrawl_priority",
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the

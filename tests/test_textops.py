@@ -590,3 +590,56 @@ def test_tfidf_topk_ranks_discriminative_terms(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert s.count("InMemoryTableScan") >= 2, s
     out2._tf_cache.unpersist()
+
+
+def test_span_dedup_removes_repeated_blocks_preserves_order(spark):
+    """A 10-token block shared by two docs is removed from BOTH (drop-all
+    policy); unique blocks survive in original order; a doc that is all
+    boilerplate collapses to empty text."""
+    from webscraper_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    u = lambda d: " ".join(f"u{d}_{i}" for i in range(10))
+    rows = [
+        (1, f"{u(1)} {boiler} {u(1).replace('_', 'x')}"),  # boiler in middle
+        (2, f"{boiler} {u(2)}"),                            # boiler at head
+        (3, boiler),                                        # all boilerplate
+        (4, u(4) + " tail tok"),                            # short last block
+        (5, ""),                                            # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(df, block=10, min_df=2).collect()}
+    assert got[1].clean_text == f"{u(1)} {u(1).replace('_', 'x')}"
+    assert got[1].blocks_removed == 1 and got[1].blocks_kept == 2
+    assert got[2].clean_text == u(2) and got[2].blocks_removed == 1
+    assert got[3].clean_text == "" and got[3].blocks_kept == 0
+    assert got[4].clean_text == u(4) + " tail tok" and got[4].blocks_removed == 0
+    assert got[5].clean_text == "" and got[5].blocks_kept == 0 and got[5].blocks_removed == 0
+
+
+def test_recrawl_priority_orders_by_change_rate_times_staleness(spark):
+    """Hot-and-stale pages outrank cold or freshly-fetched ones within a
+    host shard; 'now' is the corpus max ts, never the wall clock."""
+    import datetime as dt
+
+    from webscraper_spark.operators.freshness import recrawl_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # page 10: changes every observed day, last seen day 5 (stale 5d at now=day 10)
+    for d in range(6):
+        rows.append((10, t0 + d * day, "purchase"))
+    # page 20: never changes, same span
+    for d in range(6):
+        rows.append((20, t0 + d * day, "view"))
+    # page 30: changes often but fetched at 'now' (staleness 0)
+    for d in range(11):
+        rows.append((30, t0 + d * day, "error"))
+    df = spark.createDataFrame(rows, "page_id long, ts timestamp, event_type string")
+    got = {r.page_id: r for r in recrawl_priority(df).collect()}
+    assert got[10].host_rank == 1 and got[10].priority > 0
+    assert got[20].priority == 0.0 and got[30].staleness_days == 0.0
+    assert got[10].n_changes == 6 and got[20].n_changes == 0
+    # all three pages share host 0 (ids % 10 == 0): ranks are 1,2,3
+    assert sorted(r.host_rank for r in got.values()) == [1, 2, 3]

@@ -174,6 +174,74 @@ def minhash_lsh_pairs(
     return out
 
 
+def span_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block: int = 10, min_df: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level repeated-span removal over fixed token blocks.
+
+    C4 (Raffel et al. 2020, §2.2) discards any three-sentence span that
+    occurs more than once in the dataset. This corpus has no sentence
+    delimiters, so the span unit is a fixed non-overlapping `block`-token
+    window; any block whose corpus document-frequency reaches `min_df`
+    is treated as boilerplate and ALL of its occurrences are dropped
+    (the aggressive variant — keep-one-occurrence needs a global keeper
+    election, a per-block arg-min aggregate, which callers can layer on
+    via exact_duplicates-style keep_id logic).
+
+    Plan shape (100 TB path):
+      1. chunk: native transform/slice inside codegen — no shuffle
+      2. block frequency: hash-aggregate on the block string — map-side
+         combinable, so hot boilerplate blocks partially aggregate before
+         the exchange (skew-safe; a window over block would not be)
+      3. removal: left_anti join of exploded blocks against the boilerplate
+         set (broadcast when small; AQE decides)
+      4. reassembly: groupBy doc, array_sort over (pos, block) structs —
+         order restored without relying on collect_list ordering
+
+    Output: (doc_id, clean_text, blocks_kept, blocks_removed) — exact
+    integer/string columns, independently verifiable in ANSI SQL.
+    """
+    toks = tokens(F.col(text_col))
+    nblk = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    # sequence(0, -1) would step backwards; guard the empty-doc case
+    blocks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nblk - 1),
+            lambda bi: F.array_join(F.slice(toks, bi * block + 1, block), " "),
+        )
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), blocks.alias("blocks"))
+    ex = docs.select("doc_id", F.posexplode("blocks").alias("bi", "blk"))
+    boiler = (
+        ex.groupBy("blk").agg(F.count("*").alias("dfb"))
+        .filter(F.col("dfb") >= min_df)
+        .select("blk")
+    )
+    kept = ex.join(boiler, "blk", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bi", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("blocks_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size("blocks").alias("blocks_total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("blocks_kept", F.lit(0)).cast("long").alias("blocks_kept"),
+            (F.col("blocks_total") - F.coalesce("blocks_kept", F.lit(0)))
+            .cast("long").alias("blocks_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
