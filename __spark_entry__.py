@@ -928,6 +928,66 @@ FROM scored
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup semantic dedup (L26 in SURVEY §2.10): h60-sample codebook
+    cells, within-cell rounded-cosine pairs, greedy keep-lowest-id
+    (operators/dedup.py semantic_dedup). Same 20 planted near-copies as
+    embedding_near_dup, so the drop list is exactly the plants."""
+    from webscraper_spark.operators.dedup import semantic_dedup
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(e.unionByName(planted), n_cells=16, threshold=0.9)
+
+
+def _sql_semantic_dedup(n_cells: int = 16, threshold: float = 0.9) -> str:
+    """Independent DuckDB replay: same planted copies, same h60-ordered
+    codebook over the unioned corpus, same rounded-cosine cell assignment
+    (ties to the smaller cell_id), within-cell pairs, keep-lowest-id."""
+    h = _sql_h60("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([embedding[1]::DOUBLE + 0.05], (embedding::DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id < 20
+),
+cent AS (
+  SELECT vec_id AS cell_id, emb AS cvec FROM (
+    SELECT vec_id, emb, row_number() OVER (ORDER BY {h}, vec_id) AS rk FROM e
+  ) WHERE rk <= {n_cells}
+),
+assign AS (
+  SELECT vec_id, emb, cell_id AS cell FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cell_id) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dropped AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos) AS max_cos
+  FROM pairs WHERE cos >= {threshold} GROUP BY id_b
+)
+SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of, d.max_cos
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 def _planted_pii_suffix_spark():
     sid = F.col("doc_id").cast("string")
     return F.concat(
@@ -2062,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "span_dedup": _q_span_dedup,
         "recrawl_priority": _q_recrawl_priority,
+        "semantic_dedup": _q_semantic_dedup,
         "pii_scrub": _q_pii_scrub,
         "vocab_topk": _q_vocab_topk,
         "dataset_split": _q_dataset_split,
@@ -2118,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "span_dedup": _SQL_SPAN_DEDUP,
         "recrawl_priority": _SQL_RECRAWL,
+        "semantic_dedup": _sql_semantic_dedup(),
         "pii_scrub": _sql_pii_scrub(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "dataset_split": _sql_dataset_split(),

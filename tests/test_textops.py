@@ -643,3 +643,30 @@ def test_recrawl_priority_orders_by_change_rate_times_staleness(spark):
     assert got[10].n_changes == 6 and got[20].n_changes == 0
     # all three pages share host 0 (ids % 10 == 0): ranks are 1,2,3
     assert sorted(r.host_rank for r in got.values()) == [1, 2, 3]
+
+
+def test_semantic_dedup_drops_planted_copies_keeps_originals(spark):
+    """Planted near-copies (cos ~0.999 to their source) are dropped with
+    dup_of pointing at the lower-id original; originals and unrelated
+    vectors keep=true; every input row appears exactly once."""
+    from webscraper_spark.operators.dedup import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    allv = e.unionByName(planted)
+    out = semantic_dedup(allv, n_cells=8, threshold=0.9).collect()
+    assert len(out) == allv.count()
+    by_id = {r.vec_id: r for r in out}
+    dropped = [r for r in out if not r.keep]
+    # every planted copy lands in its source's cell (nearly identical
+    # vectors assign identically) and is dropped in favour of the original
+    for i in range(5):
+        assert by_id[100000 + i].keep is False
+        assert by_id[100000 + i].dup_of == i
+        assert by_id[100000 + i].max_cos >= 0.99
+        assert by_id[i].keep is True
+    assert len(dropped) == 5  # raw corpus max pairwise cos ~0.5 < threshold

@@ -242,6 +242,72 @@ def span_dedup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, threshold: float = 0.9,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    an embedding column — cluster the corpus into codebook cells, compare
+    cosines only WITHIN a cell, drop every vector that has a
+    smaller-id near-neighbour (cos >= threshold) in its cell.
+
+    The greedy keep-lowest-id rule (not full connected components —
+    operators/cluster.py has that when cluster ids are needed) is the
+    paper's per-cluster policy and is order-free: a vector's fate depends
+    only on the SET of its in-cell neighbours, never on visit order.
+
+    Scale shape: cell assignment is an embarrassingly-parallel map
+    (codebook rides in the router closure — config-sized, never a data
+    join); the only shuffle is the per-cell self-join, |cell|² per cell
+    instead of n² — the same sharding argument as MinHash-LSH bands.
+    Default codebook is the h60 sample (train_centroids) so the whole
+    chain stays recomputable by the ANSI-SQL oracle; pass the trained
+    k-means codebook (train_centroids_kmeans) for better cell balance
+    when oracle-expressibility is not required.
+
+    Output: one row per input vector —
+      (vec_id, cell, keep, dup_of nullable, max_cos nullable).
+    """
+    from webscraper_spark.operators.simsearch import (
+        cosine, ivf_cells_udf, train_centroids,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if codebook is None:
+        codebook = train_centroids(base, n_cells, id_col="vec_id", vec_col="vec")
+    cent_rows = sorted(codebook.collect(), key=lambda r: r["cell_id"])
+    cent_ids = np.asarray([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+
+    assigned = base.withColumn(
+        "cell", ivf_cells_udf(cent_ids, cent_mat, 1)(F.col("vec")).getItem(0)
+    )
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of", "max_cos",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
