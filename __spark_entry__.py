@@ -2090,6 +2090,88 @@ seen0 AS (SELECT NULL::VARCHAR AS url WHERE false)"""]
     return "WITH " + ",".join(parts) + "\n" + final
 
 
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM in-domain scoring (L27 in SURVEY §2.10):
+    add-one-smoothed unigram model trained on the 'src0' reference slice,
+    every document scored by arithmetic-mean likelihood (bit-reproducible
+    integer numerator / single IEEE division — see operators/lm.py)."""
+    from webscraper_spark.operators.lm import unigram_lm_score
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return unigram_lm_score(d, F.col("source") == "src0")
+
+
+_SQL_UNIGRAM_LM = r"""
+WITH toked AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+exploded AS (SELECT doc_id, source, term FROM toked, unnest(toks) AS u(term)),
+vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM exploded
+          WHERE source = 'src0' GROUP BY term),
+scal AS (SELECT (coalesce(sum(cnt), 0) + count(*))::BIGINT AS denom FROM vocab),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM exploded GROUP BY doc_id, term),
+per_doc AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tok,
+         sum(tf.tf * (coalesce(v.cnt, 0) + 1))::BIGINT AS lm_num
+  FROM tf LEFT JOIN vocab v USING (term) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(p.lm_num, 0)::BIGINT AS lm_num,
+       CASE WHEN coalesce(p.n_tok, 0) = 0 THEN 0.0::DOUBLE
+            ELSE p.lm_num::DOUBLE / (p.n_tok * s.denom)::DOUBLE END AS lm_score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id, scal s
+"""
+
+
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection (L28 in SURVEY §2.10): sources act as
+    hosts; every doc_id < 100 is re-hosted onto 'mirror-<source>' (the
+    planted mirrors), then operators/mirror.py finds host pairs sharing
+    >= 3 content fingerprints with a host-degree boilerplate cap."""
+    from webscraper_spark.operators.mirror import mirror_host_pairs
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "source", "text")
+    planted = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("mirror-"), F.col("source")).alias("source"),
+        F.col("text"),
+    )
+    pages = d.unionByName(planted).select(F.col("source").alias("host"), "text")
+    return mirror_host_pairs(pages, min_shared=3, max_hosts_per_fp=20)
+
+
+def _sql_mirror_hosts(min_shared: int = 3, max_hosts_per_fp: int = 20) -> str:
+    """Independent DuckDB replay: same planted mirrors, same h60 content
+    fingerprint, same degree cap and containment overlap."""
+    fp = _sql_h60("'mirror:' || text")
+    return f"""
+WITH pages AS (
+  SELECT source AS host, text FROM documents
+  UNION ALL
+  SELECT 'mirror-' || source AS host, text FROM documents WHERE doc_id < 100
+),
+hf AS (SELECT DISTINCT host, {fp} AS fp FROM pages),
+deg AS (SELECT fp FROM (SELECT fp, count(*) AS n_hosts FROM hf GROUP BY fp)
+        WHERE n_hosts BETWEEN 2 AND {max_hosts_per_fp}),
+hf2 AS (SELECT hf.host, hf.fp FROM hf JOIN deg USING (fp)),
+sizes AS (SELECT host, count(*)::BIGINT AS n FROM hf2 GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+  FROM hf2 a JOIN hf2 b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT s.host_a, s.host_b, s.shared, sa.n AS n_a, sb.n AS n_b,
+       s.shared::DOUBLE / least(sa.n, sb.n)::DOUBLE AS overlap
+FROM shared s
+JOIN sizes sa ON s.host_a = sa.host
+JOIN sizes sb ON s.host_b = sb.host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2127,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "dataset_split": _q_dataset_split,
         "curation_decision": _q_curation_decision,
+        "unigram_lm_score": _q_unigram_lm,
+        "mirror_hosts": _q_mirror_hosts,
         "sequence_packing": _q_sequence_packing,
         "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
@@ -2184,6 +2268,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "dataset_split": _sql_dataset_split(),
         "curation_decision": _sql_curation_decision(),
+        "unigram_lm_score": _SQL_UNIGRAM_LM,
+        "mirror_hosts": _sql_mirror_hosts(),
         "sequence_packing": _sql_sequence_packing(),
         "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,

@@ -175,6 +175,13 @@ def run_crawl_job(spark, paths: dict[str, str], max_waves: int) -> tuple[float, 
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # Release any operator-attached persist handles (_shingle_cache,
+    # _tf_cache, _hf_cache) so repeated reps don't stack cached RDDs.
+    for attr in dir(df):
+        if attr.endswith("_cache"):
+            handle = getattr(df, attr)
+            if hasattr(handle, "unpersist"):
+                handle.unpersist()
 
 
 def _scale_run(cores: int, sf: float, max_waves: int) -> None:
@@ -528,6 +535,7 @@ def main() -> None:
         "simhash_pairs", "token_count", "neardup_clusters", "repetition_metrics",
         "pii_scrub", "vocab_topk", "dataset_split", "curation_decision",
         "contamination_check", "tfidf_topk", "span_dedup", "recrawl_priority",
+        "unigram_lm_score", "mirror_hosts",
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the
