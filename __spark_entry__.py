@@ -2172,6 +2172,112 @@ JOIN sizes sb ON s.host_b = sb.host
 """
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (L29 in SURVEY §2.10): deterministic synthetic
+    outlink graph (3 h60-derived outlinks per document), 8 power
+    iterations in fixed-point integer arithmetic (operators/graph.py) so
+    an 8-CTE DuckDB chain replays every rank bit-for-bit."""
+    from webscraper_spark.operators.graph import pagerank_fixed_point
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    h60(
+                        F.concat(
+                            F.lit("edge:"), F.col("doc_id").cast("string"), F.lit(f":{i}")
+                        )
+                    )
+                    % F.lit(n)
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return pagerank_fixed_point(edges, n_iter=8)
+
+
+def _sql_pagerank(n_iter: int = 8, scale: int = 10**12, d_num: int = 85, d_den: int = 100) -> str:
+    """Independent DuckDB replay: same synthetic edges, the power iteration
+    unrolled into n_iter chained CTEs of pure integer arithmetic."""
+    hashes = ", ".join(
+        "(" + _sql_h60("'edge:' || CAST(doc_id AS VARCHAR) || ':%d'" % i) + ")"
+        for i in (1, 2, 3)
+    )
+    parts = [
+        f"nd AS (SELECT max(doc_id) + 1 AS n FROM documents)",
+        f"""edges AS (
+  SELECT doc_id AS src, h % (SELECT n FROM nd) AS dst
+  FROM documents, unnest([{hashes}]) AS u(h)
+)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "cnt AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, ({scale} // n_nodes)::BIGINT AS rank FROM nodes, cnt)",
+    ]
+    base = f"(({d_den - d_num} * {scale}) // {d_den}) // n_nodes"
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS c
+  FROM edges e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n.node,
+         ({base} + ({d_num} * coalesce(s.c, 0)) // {d_den})::BIGINT AS rank
+  FROM nodes n LEFT JOIN s{k} s ON n.node = s.node, cnt
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{n_iter}"
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality sketch (L30 in SURVEY §2.10): distinct-text count
+    of the documents table with 1024 integer-exact registers
+    (operators/sketch.py) — the one emitted double is a single division
+    of two exact operands."""
+    from webscraper_spark.operators.sketch import hll_distinct
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return hll_distinct(d, F.concat(F.lit("hll:"), F.col("text")), p=10)
+
+
+def _sql_hll_distinct(p: int = 10) -> str:
+    from webscraper_spark.operators.sketch import _alpha
+
+    m = 1 << p
+    rem = 60 - p
+    mod = 1 << rem
+    two_pow = 1 << (rem + 1)
+    numer = _alpha(m) * m * m * float(two_pow)  # same Python-computed literal as Spark's F.lit
+    h = _sql_h60("'hll:' || text")
+    return f"""
+WITH hashed AS (SELECT {h} AS h FROM documents),
+regs AS (
+  SELECT h // {mod} AS bucket,
+         max(CASE WHEN h % {mod} = 0 THEN {rem + 1}
+                  ELSE {rem + 1} - length(bin(h % {mod})) END)::BIGINT AS register
+  FROM hashed GROUP BY bucket
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_filled,
+         sum(1::BIGINT << ({rem + 1} - register))::BIGINT AS sum_filled
+  FROM regs
+)
+SELECT {m}::BIGINT AS m,
+       (sum_filled + ({m} - n_filled) * {two_pow})::BIGINT AS sum_int,
+       ({m} - n_filled)::BIGINT AS n_zero_buckets,
+       {numer!r}::DOUBLE / (sum_filled + ({m} - n_filled) * {two_pow})::DOUBLE AS estimate_raw
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2211,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decision": _q_curation_decision,
         "unigram_lm_score": _q_unigram_lm,
         "mirror_hosts": _q_mirror_hosts,
+        "pagerank": _q_pagerank,
+        "hll_distinct": _q_hll_distinct,
         "sequence_packing": _q_sequence_packing,
         "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
@@ -2270,6 +2378,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_decision": _sql_curation_decision(),
         "unigram_lm_score": _SQL_UNIGRAM_LM,
         "mirror_hosts": _sql_mirror_hosts(),
+        "pagerank": _sql_pagerank(),
+        "hll_distinct": _sql_hll_distinct(),
         "sequence_packing": _sql_sequence_packing(),
         "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,

@@ -535,7 +535,7 @@ def main() -> None:
         "simhash_pairs", "token_count", "neardup_clusters", "repetition_metrics",
         "pii_scrub", "vocab_topk", "dataset_split", "curation_decision",
         "contamination_check", "tfidf_topk", "span_dedup", "recrawl_priority",
-        "unigram_lm_score", "mirror_hosts",
+        "unigram_lm_score", "mirror_hosts", "pagerank", "hll_distinct",
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the

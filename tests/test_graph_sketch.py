@@ -1,0 +1,90 @@
+"""Tests for fixed-point PageRank (operators/graph.py) and the HLL
+cardinality sketch (operators/sketch.py) — SURVEY 2.10 L29/L30."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.graph import pagerank_fixed_point
+from webscraper_spark.operators.sketch import _alpha, hll_distinct
+
+
+def _py_pagerank(edges, n_iter=8, d_num=85, d_den=100, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = Counter(s for s, _ in edges)
+    base = ((d_den - d_num) * scale // d_den) // n
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        c = defaultdict(int)
+        for s, d in edges:
+            c[d] += rank[s] // deg[s]
+        rank = {v: base + (d_num * c.get(v, 0)) // d_den for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_exactly(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (4, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank_fixed_point(df, n_iter=8)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    out._rank_cache.unpersist()
+    out._nodes_cache.unpersist()
+    assert got == _py_pagerank(edges)  # integer-exact, no tolerance
+
+
+def test_pagerank_star_mass_concentrates(spark):
+    # star into node 9: every node links to 9, 9 links back to 0. The 0<->9
+    # 2-cycle oscillates, so assert the top-2 SET (order is parity-dependent)
+    # and that all leaf nodes sit at the base-only rank.
+    edges = [(i, 9) for i in range(9)] + [(9, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank_fixed_point(df, n_iter=8)
+    rows = sorted(out.collect(), key=lambda r: -r["rank"])
+    out._rank_cache.unpersist()
+    out._nodes_cache.unpersist()
+    assert {rows[0]["node"], rows[1]["node"]} == {0, 9}
+    leaf_ranks = {r["rank"] for r in rows[2:]}
+    assert len(leaf_ranks) == 1  # all leaves identical
+    assert max(leaf_ranks) < rows[1]["rank"]
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll(values, p=10):
+    rem_bits = 60 - p
+    regs = defaultdict(int)
+    for v in values:
+        h = _h60_py(v)
+        b, rem = h >> rem_bits, h % (1 << rem_bits)
+        rho = rem_bits + 1 if rem == 0 else rem_bits + 1 - rem.bit_length()
+        regs[b] = max(regs[b], rho)
+    m = 1 << p
+    s = sum(1 << (rem_bits + 1 - regs.get(b, 0)) for b in range(m))
+    return s, m - len(regs)
+
+
+def test_hll_registers_match_python(spark):
+    vals = [f"value-{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    row = hll_distinct(df, F.col("v")).collect()[0]
+    sum_int, zeros = _py_hll(vals)
+    assert row["m"] == 1024
+    assert row["sum_int"] == sum_int
+    assert row["n_zero_buckets"] == zeros
+    assert row["estimate_raw"] == _alpha(1024) * 1024 * 1024 * float(1 << 51) / sum_int
+
+
+def test_hll_estimate_accuracy(spark):
+    # sf0.1 documents: ~5k distinct texts > 2.5m = 2560, the raw-estimator
+    # regime (below it, textbook HLL switches to linear counting — which
+    # the operator deliberately leaves to the caller, see sketch.py).
+    d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    exact = d.select("text").distinct().count()
+    est = hll_distinct(d, F.concat(F.lit("hll:"), F.col("text"))).collect()[0]["estimate_raw"]
+    assert abs(est - exact) / exact < 0.10  # ~3 sigma of the 1024-register error

@@ -1,0 +1,93 @@
+"""Auditable cardinality sketch: HyperLogLog with integer-exact registers.
+
+Counting distinct URLs/documents at 10^10 scale with an exact
+`countDistinct` costs a full shuffle of every key; an HLL sketch costs a
+map-side-combinable max over a fixed register table (Flajolet et al.,
+2007). Spark's built-in `approx_count_distinct` is HLL++ but its register
+layout is engine-private — an independent SQL engine can't reproduce the
+number, so it can't be driven through the correctness gate. This sketch
+uses the repo's auditable h60 hash (dedup.py:29) and keeps every
+aggregation in exact integer arithmetic so DuckDB replays it bit-for-bit:
+
+- bucket  = top `p` bits of the 60-bit hash
+- rho     = leading-zero count of the remaining (60-p) bits + 1
+- register[bucket] = max(rho)           (map-side-combinable)
+- sum_int = sum over all 2^p buckets of 2^((60-p+1) - register)
+            (empty bucket -> register 0 -> 2^(60-p+1));
+            every term is an exact power of two and the sum is a BIGINT,
+            so it is order-independent — the floating-point harmonic mean
+            sum of textbook HLL is NOT, which is the whole trick here.
+- estimate_raw = alpha_m * m^2 * 2^(60-p+1) / sum_int
+            (two correctly-rounded IEEE ops on exact operands)
+
+The small-range linear-counting correction (m * ln(m/V)) is intentionally
+NOT applied inside the operator: ln() differs in the last ulp across
+engines. The exact ingredients (n_zero_buckets, sum_int) are emitted so a
+caller can apply it driver-side in one line; estimate_raw itself is the
+bias-uncorrected HLL estimator.
+
+Output is one row: (m, sum_int, n_zero_buckets, estimate_raw) — the whole
+point is that the "result" is register-table-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.dedup import h60
+
+
+def _alpha(m: int) -> float:
+    # Standard HLL alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3).
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: Column, p: int = 10) -> DataFrame:
+    """HLL distinct-count sketch of `col` with 2^p registers (p=10 ->
+    1024 registers, standard error ~1.04/sqrt(1024) ~ 3.3%)."""
+    if not (4 <= p <= 20):
+        raise ValueError("hll_distinct: p must be in [4, 20]")
+    return _hll_from_hash(df.select(h60(col).alias("h")), p)
+
+
+def _hll_from_hash(hashed: DataFrame, p: int) -> DataFrame:
+    m = 1 << p
+    rem_bits = 60 - p
+    alpha = _alpha(m)
+    two_pow = 1 << (rem_bits + 1)  # register 0 (empty) term
+    regs = (
+        hashed.select(
+            F.expr(f"h div {1 << rem_bits}").alias("bucket"),
+            F.expr(f"h % {1 << rem_bits}").alias("rem"),
+        )
+        .select(
+            "bucket",
+            # rho = leading zeros of the rem_bits-wide field + 1
+            #     = rem_bits - bit_length(rem) + 1;  rem=0 -> rem_bits + 1
+            F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+            .otherwise(F.lit(rem_bits + 1) - F.length(F.bin(F.col("rem"))))
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("n_filled"),
+        F.sum(F.expr(f"cast(pow(2, {rem_bits + 1} - register) as long)")).alias("sum_filled"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.col("sum_filled") + (F.lit(m) - F.col("n_filled")) * F.lit(two_pow))
+        .cast("long")
+        .alias("sum_int"),
+        (F.lit(m) - F.col("n_filled")).cast("long").alias("n_zero_buckets"),
+    ).select(
+        "m",
+        "sum_int",
+        "n_zero_buckets",
+        (
+            F.lit(alpha * m * m * float(two_pow)) / F.col("sum_int").cast("double")
+        ).alias("estimate_raw"),
+    )
