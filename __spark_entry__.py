@@ -2278,6 +2278,182 @@ FROM agg
 """
 
 
+def _robots_synth_spark(spark: SparkSession, sf_dir: str):
+    """Deterministic robots.txt corpus + candidate URLs derived from
+    documents (25 hosts; group structure exercises exact-UA override,
+    '*' fallback, wildcard + '$' patterns, crawl-delay)."""
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = F.col("doc_id") % 25
+    host = F.concat(F.lit("h"), n.cast("string"), F.lit(".com"))
+    k = (n % 7).cast("string")
+    txt = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\n"),
+        F.lit("User-agent: *\nDisallow: /p"), k,
+        F.lit("\nAllow: /p"), k,
+        F.lit("/ok\nDisallow: /x*z$\nCrawl-delay: "), (1 + n % 3).cast("string"), F.lit("\n"),
+        F.when(n % 4 == 0, F.lit("User-agent: webscraper\nAllow: /p\nDisallow: /other\n"))
+        .otherwise(F.lit("")),
+    )
+    files = d.select(host.alias("host"), txt.alias("robots_txt")).distinct()
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p"), (F.col("doc_id") % 7).cast("string"), F.lit("/page")))
+        .when(m == 1, F.concat(F.lit("/p"), (F.col("doc_id") % 7).cast("string"), F.lit("/ok/a")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("/x"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("z")).otherwise(F.lit("zq")),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id").cast("string")))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"), host.alias("host")
+    ).distinct()
+    return files, urls
+
+
+def _q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt parser (S9 in SURVEY §2): raw robots.txt text ->
+    rule rows of the group governing UA 'webscraper' (exact token beats
+    '*'), wildcard/'$' patterns translated to anchored regexes
+    (operators/robots_parse.py)."""
+    from webscraper_spark.operators.robots_parse import parse_robots_txt
+
+    files, _ = _robots_synth_spark(spark, sf_dir)
+    return parse_robots_txt(files, user_agent="webscraper")
+
+
+def _q_robots_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match Allow/Disallow verdict per URL (S10):
+    broadcast host-rules join + per-URL precedence window; allow wins
+    length ties, default-allow when nothing matches."""
+    from webscraper_spark.operators.robots_parse import parse_robots_txt, robots_allowed
+
+    files, urls = _robots_synth_spark(spark, sf_dir)
+    return robots_allowed(urls, parse_robots_txt(files, user_agent="webscraper"))
+
+
+# Shared DuckDB CTE chain replaying _robots_synth_spark + parse_robots_txt.
+_SQL_ROBOTS_RULES_CTES = r"""
+hosts AS (
+  SELECT DISTINCT
+    'h' || (doc_id % 25)::VARCHAR || '.com' AS host,
+    'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) ||
+    'User-agent: *' || chr(10) || 'Disallow: /p' || ((doc_id % 25) % 7)::VARCHAR || chr(10) ||
+    'Allow: /p' || ((doc_id % 25) % 7)::VARCHAR || '/ok' || chr(10) ||
+    'Disallow: /x*z$' || chr(10) ||
+    'Crawl-delay: ' || (1 + (doc_id % 25) % 3)::VARCHAR || chr(10) ||
+    CASE WHEN (doc_id % 25) % 4 = 0
+         THEN 'User-agent: webscraper' || chr(10) || 'Allow: /p' || chr(10) || 'Disallow: /other' || chr(10)
+         ELSE '' END AS robots_txt
+  FROM documents
+),
+lines AS (
+  SELECT host, pos,
+         trim(regexp_replace(string_split(robots_txt, chr(10))[pos], '#.*$', '')) AS line
+  FROM hosts,
+       unnest(generate_series(1, len(string_split(robots_txt, chr(10))))) AS t(pos)
+),
+parsed AS (
+  SELECT host, pos,
+         lower(trim(regexp_extract(line, '^([^:]+):(.*)$', 1))) AS field,
+         trim(regexp_extract(line, '^([^:]+):(.*)$', 2)) AS value
+  FROM lines
+  WHERE lower(trim(regexp_extract(line, '^([^:]+):(.*)$', 1)))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+grouped AS (
+  SELECT *,
+         sum(CASE WHEN is_ua = 1 AND coalesce(prev_ua, 0) = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos) AS group_id
+  FROM (
+    SELECT host, pos, field, value,
+           CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+           lag(CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY pos) AS prev_ua
+    FROM parsed
+  )
+),
+spec AS (
+  SELECT host, group_id,
+         max(CASE WHEN lower(value) = 'webscraper' THEN 2
+                  WHEN value = '*' THEN 1 ELSE 0 END) AS group_spec
+  FROM grouped WHERE is_ua = 1 GROUP BY host, group_id
+),
+chosen AS (
+  SELECT host, group_id FROM (
+    SELECT host, group_id, group_spec, max(group_spec) OVER (PARTITION BY host) AS best
+    FROM spec
+  ) WHERE group_spec = best AND group_spec > 0
+),
+rules0 AS (
+  SELECT DISTINCT g.host, g.field AS rule, g.value AS pattern,
+         length(g.value)::BIGINT AS pattern_len
+  FROM grouped g JOIN chosen c ON g.host = c.host AND g.group_id = c.group_id
+  WHERE g.is_ua = 0 AND g.value <> ''
+),
+rules AS (
+  SELECT host, rule, pattern, pattern_len,
+         CASE WHEN rule = 'crawl-delay' THEN NULL
+              ELSE '^' ||
+                regexp_replace(
+                  regexp_replace(
+                    CASE WHEN ends_with(pattern, '$')
+                         THEN substr(pattern, 1, length(pattern) - 1)
+                         ELSE pattern END,
+                    '([.^$+?(){}\[\]\\|])', '\\\1', 'g'),
+                  '\*', '.*', 'g') ||
+                CASE WHEN ends_with(pattern, '$') THEN '$' ELSE '' END
+         END AS regex
+  FROM rules0
+)"""
+
+_SQL_ROBOTS_PARSE = "WITH " + _SQL_ROBOTS_RULES_CTES + """
+SELECT host, rule, pattern, pattern_len, regex FROM rules
+"""
+
+_SQL_ROBOTS_DECISION = "WITH " + _SQL_ROBOTS_RULES_CTES + r""",
+urls AS (
+  SELECT DISTINCT
+    'https://h' || (doc_id % 25)::VARCHAR || '.com' ||
+      CASE doc_id % 4
+        WHEN 0 THEN '/p' || (doc_id % 7)::VARCHAR || '/page'
+        WHEN 1 THEN '/p' || (doc_id % 7)::VARCHAR || '/ok/a'
+        WHEN 2 THEN '/x' || (doc_id % 3)::VARCHAR ||
+                    CASE WHEN doc_id % 2 = 0 THEN 'z' ELSE 'zq' END
+        ELSE '/other/' || doc_id::VARCHAR END AS url,
+    'h' || (doc_id % 25)::VARCHAR || '.com' AS host,
+    CASE doc_id % 4
+      WHEN 0 THEN '/p' || (doc_id % 7)::VARCHAR || '/page'
+      WHEN 1 THEN '/p' || (doc_id % 7)::VARCHAR || '/ok/a'
+      WHEN 2 THEN '/x' || (doc_id % 3)::VARCHAR ||
+                  CASE WHEN doc_id % 2 = 0 THEN 'z' ELSE 'zq' END
+      ELSE '/other/' || doc_id::VARCHAR END AS path
+  FROM documents
+),
+cand AS (
+  SELECT u.url, u.host, u.path, r.rule, r.pattern, r.pattern_len, r.regex,
+         (r.regex IS NOT NULL AND regexp_matches(u.path, r.regex)) AS hit
+  FROM urls u LEFT JOIN (SELECT * FROM rules WHERE rule IN ('allow', 'disallow')) r
+    ON u.host = r.host
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url
+    ORDER BY hit DESC, pattern_len DESC, rule ASC, pattern ASC
+  ) AS rk FROM cand
+)
+SELECT url, host,
+       CASE WHEN hit THEN rule = 'allow' ELSE TRUE END AS allowed,
+       CASE WHEN hit THEN rule END AS matched_rule,
+       CASE WHEN hit THEN pattern END AS matched_pattern
+FROM ranked WHERE rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2319,6 +2495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "pagerank": _q_pagerank,
         "hll_distinct": _q_hll_distinct,
+        "robots_parse": _q_robots_parse,
+        "robots_decision": _q_robots_decision,
         "sequence_packing": _q_sequence_packing,
         "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
@@ -2380,6 +2558,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _sql_mirror_hosts(),
         "pagerank": _sql_pagerank(),
         "hll_distinct": _sql_hll_distinct(),
+        "robots_parse": _SQL_ROBOTS_PARSE,
+        "robots_decision": _SQL_ROBOTS_DECISION,
         "sequence_packing": _sql_sequence_packing(),
         "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,

@@ -1,0 +1,96 @@
+"""Tests for RFC 9309 robots.txt parsing/decisions (operators/robots_parse.py):
+grammar edge cases plus cross-validation against CPython's urllib.robotparser
+on wildcard-free, allow-first files (the regime where the 1994 first-match
+semantics urllib implements coincide with RFC 9309 longest-match)."""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.robots_parse import parse_robots_txt, robots_allowed
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "url string, host string")
+
+
+def _verdicts(spark, files, urls, ua="webscraper"):
+    out = robots_allowed(_urls(spark, urls), parse_robots_txt(_files(spark, files), ua))
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+
+def test_specific_group_overrides_star(spark):
+    txt = "User-agent: *\nDisallow: /\n\nUser-agent: webscraper\nDisallow: /priv\n"
+    v = _verdicts(spark, [("a.com", txt)],
+                  [("https://a.com/ok", "a.com"), ("https://a.com/priv/x", "a.com")])
+    assert v == {"https://a.com/ok": True, "https://a.com/priv/x": False}
+
+
+def test_adjacent_ua_lines_share_group(spark):
+    txt = "User-agent: otherbot\nUser-agent: webscraper\nDisallow: /x\n"
+    v = _verdicts(spark, [("a.com", txt)],
+                  [("https://a.com/x/1", "a.com"), ("https://a.com/y", "a.com")])
+    assert v == {"https://a.com/x/1": False, "https://a.com/y": True}
+
+
+def test_wildcard_and_end_anchor(spark):
+    txt = "User-agent: *\nDisallow: /t*p.pdf$\n"
+    v = _verdicts(spark, [("a.com", txt)], [
+        ("https://a.com/tmp.pdf", "a.com"),
+        ("https://a.com/t/deep/p.pdf", "a.com"),
+        ("https://a.com/tmp.pdfx", "a.com"),  # '$' anchor: no match
+    ])
+    assert v["https://a.com/tmp.pdf"] is False
+    assert v["https://a.com/t/deep/p.pdf"] is False
+    assert v["https://a.com/tmp.pdfx"] is True
+
+
+def test_allow_wins_length_tie_and_longest_wins(spark):
+    txt = "User-agent: *\nAllow: /p\nDisallow: /p\nDisallow: /p/deep\n"
+    v = _verdicts(spark, [("a.com", txt)], [
+        ("https://a.com/p/x", "a.com"),       # tie /p vs /p -> allow
+        ("https://a.com/p/deep/x", "a.com"),  # /p/deep longer -> disallow
+    ])
+    assert v == {"https://a.com/p/x": True, "https://a.com/p/deep/x": False}
+
+
+def test_comments_defaults_and_no_match(spark):
+    txt = "# top comment\nUser-agent: googlebot\nDisallow: /\n"
+    v = _verdicts(spark, [("a.com", txt)], [("https://a.com/any", "a.com")])
+    assert v == {"https://a.com/any": True}  # no matching group -> allow all
+
+
+def _h(i: int) -> int:
+    # tiny deterministic LCG so the corpus is reproducible without RNG state
+    return (i * 1103515245 + 12345) % (1 << 31)
+
+
+def test_cross_validated_against_urllib(spark):
+    files, urls, expected = [], [], {}
+    for s in range(12):
+        host = f"h{s}.com"
+        k = 2 + _h(s) % 3
+        body = ["User-agent: *"]
+        # allow-first ordering keeps urllib's first-match == RFC longest-match
+        for j in range(k):
+            if _h(s * 31 + j) % 2 == 0:
+                body.append(f"Allow: /d{j}/ok")
+        for j in range(k):
+            body.append(f"Disallow: /d{j}")
+        txt = "\n".join(body) + "\n"
+        files.append((host, txt))
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(txt.splitlines())
+        for j in range(k + 1):
+            for path in (f"/d{j}/page", f"/d{j}/ok/x", f"/free{j}"):
+                url = f"https://{host}{path}"
+                urls.append((url, host))
+                expected[url] = rp.can_fetch("webscraper", url)
+    got = _verdicts(spark, files, urls)
+    assert got == expected
