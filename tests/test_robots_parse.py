@@ -66,6 +66,33 @@ def test_comments_defaults_and_no_match(spark):
     assert v == {"https://a.com/any": True}  # no matching group -> allow all
 
 
+def test_robots_txt_roundtrip_matches_rule_table(spark, params):
+    """gen_robots_txt -> robots_rules_from_txt reproduces gen_robots
+    exactly, and apply_robots filters identically from either — the raw
+    robots.txt ingestion path is equivalent to the pre-parsed table."""
+    from webscraper_spark.operators.robots import apply_robots
+    from webscraper_spark.operators.robots_parse import robots_rules_from_txt
+    from webscraper_spark.sources.synth import gen_robots, gen_robots_txt
+
+    direct = gen_robots(spark, params)
+    parsed = robots_rules_from_txt(gen_robots_txt(spark, params), "webscraper")
+    a = {(r["host"], tuple(r["disallow_prefixes"]), r["crawl_delay_ms"])
+         for r in direct.collect()}
+    b = {(r["host"], tuple(r["disallow_prefixes"]), r["crawl_delay_ms"])
+         for r in parsed.collect()}
+    assert a == b
+
+    hosts = [r["host"] for r in direct.limit(40).collect()]
+    cand = spark.createDataFrame(
+        [(f"https://{h}{p}", h) for h in hosts
+         for p in ("/ad/private/1", "/ad/public/1", "/x")],
+        "url string, host string",
+    )
+    kept_direct = {r["url"] for r in apply_robots(cand, direct).collect()}
+    kept_parsed = {r["url"] for r in apply_robots(cand, parsed).collect()}
+    assert kept_direct == kept_parsed
+
+
 def _h(i: int) -> int:
     # tiny deterministic LCG so the corpus is reproducible without RNG state
     return (i * 1103515245 + 12345) % (1 << 31)

@@ -123,6 +123,40 @@ def parse_robots_txt(robots_files: DataFrame, user_agent: str = "webscraper") ->
     )
 
 
+def robots_rules_from_txt(
+    robots_files: DataFrame, user_agent: str = "webscraper"
+) -> DataFrame:
+    """Parse raw (host, robots_txt) into the pre-aggregated rule-table
+    shape operators/robots.py consumes: (host, disallow_prefixes
+    array<string>, crawl_delay_ms long). Crawl-delay is parsed as RFC
+    seconds (decimal) and converted to ms. Hosts whose file yields no
+    governing group emit (empty array, null delay)."""
+    parsed = parse_robots_txt(robots_files, user_agent)
+    agg = parsed.groupBy("host").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("rule") == "disallow", F.col("pattern")))
+        ).alias("disallow_prefixes"),
+        F.max(
+            F.when(
+                F.col("rule") == "crawl-delay",
+                F.round(F.col("pattern").cast("double") * 1000).cast("long"),
+            )
+        ).alias("crawl_delay_ms"),
+    )
+    return (
+        robots_files.select("host")
+        .distinct()
+        .join(agg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("disallow_prefixes", F.array().cast("array<string>")).alias(
+                "disallow_prefixes"
+            ),
+            "crawl_delay_ms",
+        )
+    )
+
+
 def robots_allowed(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """Longest-match verdict per URL. Input urls must carry (url, host);
     rules is parse_robots_txt output. Output: (url, host, allowed,
