@@ -2454,6 +2454,159 @@ FROM ranked WHERE rk = 1
 """
 
 
+def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (S11 in SURVEY §2.1): per-host <urlset> bodies
+    synthesized from documents (optional lastmod/changefreq/priority
+    elements), parsed with codegen regexp_extract_all + explode
+    (operators/sitemap.py) — no Python in the hot path."""
+    from webscraper_spark.operators.sitemap import parse_sitemap
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example"))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/d"), F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("<changefreq>daily</changefreq>")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(
+                F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"), F.lit("</priority>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        d.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return parse_sitemap(xml)
+
+
+_SQL_SITEMAP_PARSE = """
+WITH entries AS (
+  SELECT 'h' || (doc_id % 20)::VARCHAR || '.example' AS host,
+         'https://h' || (doc_id % 20)::VARCHAR || '.example/d' || doc_id::VARCHAR AS loc,
+         CASE WHEN doc_id % 3 <> 0
+              THEN ('2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0'))::TIMESTAMP
+         END AS lastmod,
+         CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+         CASE WHEN doc_id % 4 <> 0 THEN ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE END AS priority,
+         '<url><loc>https://h' || (doc_id % 20)::VARCHAR || '.example/d' || doc_id::VARCHAR
+           || '</loc>'
+           || CASE WHEN doc_id % 3 <> 0
+                   THEN '<lastmod>2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') || '</lastmod>'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '<changefreq>daily</changefreq>' ELSE '' END
+           || CASE WHEN doc_id % 4 <> 0
+                   THEN '<priority>0.' || (doc_id % 10)::VARCHAR || '</priority>'
+                   ELSE '' END
+           || '</url>' AS entry
+  FROM documents
+)
+SELECT host, loc, lastmod, changefreq, priority,
+       (row_number() OVER (PARTITION BY host ORDER BY entry) - 1)::BIGINT AS entry_pos
+FROM entries
+"""
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip (S12 in SURVEY §2.1): documents are packed
+    into ISO 28500 WARC blobs (10 files, payloads carry a planted
+    '\\r\\n\\r\\nWARC/1.0' decoy so only Content-Length framing parses
+    them) and read back with sources/warc.py read_warc; the oracle
+    reconstructs the exact expected records from documents directly."""
+    from webscraper_spark.sources.warc import build_warc, read_warc
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.concat(F.lit("https://doc"), F.col("doc_id").cast("string"), F.lit(".example/")).alias(
+            "url"
+        ),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.encode(F.concat(F.col("text"), F.lit("\r\n\r\nWARC/1.0 decoy")), "utf-8").alias(
+            "payload"
+        ),
+        (F.col("doc_id") % 10).alias("fid"),
+    )
+    blobs = build_warc(d, file_key=F.col("fid"))
+    recs = read_warc(blobs)
+    return recs.select(
+        "warc_file_id",
+        "rec_pos",
+        "rec_type",
+        "url",
+        "warc_date",
+        F.decode(F.col("payload"), "utf-8").alias("payload_txt"),
+    )
+
+
+_SQL_WARC_ROUNDTRIP = r"""
+SELECT (doc_id % 10)::BIGINT AS warc_file_id,
+       (row_number() OVER (PARTITION BY doc_id % 10
+                           ORDER BY 'https://doc' || doc_id::VARCHAR || '.example/') - 1)::BIGINT
+         AS rec_pos,
+       'response' AS rec_type,
+       'https://doc' || doc_id::VARCHAR || '.example/' AS url,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       text || e'\r\n\r\nWARC/1.0 decoy' AS payload_txt
+FROM documents
+"""
+
+
+def _q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget apportionment (W5 in SURVEY §2.6): a global budget of
+    9973 pages (prime — forces remainders) split across sources by token
+    mass via Hamilton's largest-remainder method, integer-exact end to end
+    (operators/budget.py). sum(quota) == 9973 exactly."""
+    from webscraper_spark.operators.budget import apportion_budget
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    hosts = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("weight"))
+    return apportion_budget(hosts, budget=9973, host_col="source", weight_col="weight")
+
+
+_SQL_BUDGET_APPORTION = r"""
+WITH toked AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+),
+w AS (SELECT source AS host, sum(n_tok)::BIGINT AS weight FROM toked GROUP BY source),
+tot AS (SELECT sum(weight)::BIGINT AS wt FROM w),
+scored AS (
+  SELECT host, weight,
+         ((9973 * weight) // wt)::BIGINT AS base_quota,
+         ((9973 * weight) % wt)::BIGINT AS rem
+  FROM w, tot
+),
+lo AS (SELECT 9973 - sum(base_quota) AS leftover FROM scored),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rr FROM scored
+)
+SELECT host, weight, base_quota,
+       (CASE WHEN rr <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END)::BIGINT AS extra,
+       (base_quota + CASE WHEN rr <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2497,6 +2650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "robots_parse": _q_robots_parse,
         "robots_decision": _q_robots_decision,
+        "sitemap_parse": _q_sitemap_parse,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "budget_apportion": _q_budget_apportion,
         "sequence_packing": _q_sequence_packing,
         "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
@@ -2560,6 +2716,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(),
         "robots_parse": _SQL_ROBOTS_PARSE,
         "robots_decision": _SQL_ROBOTS_DECISION,
+        "sitemap_parse": _SQL_SITEMAP_PARSE,
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "budget_apportion": _SQL_BUDGET_APPORTION,
         "sequence_packing": _sql_sequence_packing(),
         "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,

@@ -1,0 +1,99 @@
+"""Tests for the WARC source (sources/warc.py) and sitemap parsing
+(operators/sitemap.py) — SURVEY §2.1 S11/S12."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.sitemap import (
+    parse_sitemap,
+    parse_sitemap_index,
+    sitemap_frontier_candidates,
+)
+from webscraper_spark.sources.warc import build_warc, parse_warc_records, read_warc
+
+
+def _record(url: str, payload: bytes, date: str = "2026-01-01T00:00:00Z") -> bytes:
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url.encode()
+        + b"\r\nWARC-Date: " + date.encode()
+        + b"\r\nContent-Length: " + str(len(payload)).encode()
+        + b"\r\n\r\n" + payload + b"\r\n\r\n"
+    )
+
+
+def test_parse_warc_records_content_length_framing():
+    decoy = b"<html>\r\n\r\nWARC/1.0 this is page text, not a record</html>"
+    blob = _record("https://a/1", decoy) + _record("https://a/2", b"plain")
+    recs = parse_warc_records(blob)
+    assert [(r[2], r[4]) for r in recs] == [("https://a/1", decoy), ("https://a/2", b"plain")]
+    # truncated final record is dropped, earlier ones kept
+    recs2 = parse_warc_records(blob + b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
+    assert len(recs2) == 2
+    # garbage between records stops the walk (archive-reader behavior)
+    assert parse_warc_records(b"not a warc") == []
+
+
+def test_warc_roundtrip_spark(spark):
+    rows = [
+        (f"https://h{i % 3}.example/p{i}", "2026-01-01T00:00:00Z",
+         (f"payload {i}\r\n\r\nWARC/1.0 decoy").encode(), i % 3)
+        for i in range(30)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_date string, payload binary, fid long"
+    )
+    blobs = build_warc(pages, file_key=F.col("fid"))
+    assert blobs.count() == 3
+    back = read_warc(blobs)
+    got = {(r["url"], bytes(r["payload"]), r["warc_file_id"]) for r in back.collect()}
+    want = {(u, p, f) for u, _, p, f in rows}
+    assert got == want
+    # rec_pos follows url order within each file (build_warc sorts)
+    per_file = back.filter("warc_file_id = 0").orderBy("rec_pos").collect()
+    assert [r["url"] for r in per_file] == sorted(r["url"] for r in per_file)
+
+
+def test_parse_sitemap_optional_fields_and_malformed(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a/1</loc><lastmod>2026-02-03</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>\n  https://a/2  \n</loc></url>"
+        "<url><priority>0.1</priority></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    out = parse_sitemap(
+        spark.createDataFrame([("a", xml)], "host string, sitemap_xml string")
+    ).orderBy("entry_pos").collect()
+    assert len(out) == 2
+    assert out[0]["loc"] == "https://a/1"
+    assert str(out[0]["lastmod"]).startswith("2026-02-03")
+    assert out[0]["changefreq"] == "daily" and out[0]["priority"] == 0.8
+    assert out[1]["loc"] == "https://a/2"
+    assert out[1]["lastmod"] is None and out[1]["priority"] is None
+
+
+def test_parse_sitemap_index(spark):
+    xml = (
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    out = parse_sitemap_index(
+        spark.createDataFrame([("a", xml)], "host string, sitemap_xml string")
+    ).orderBy("loc").collect()
+    assert [r["loc"] for r in out] == ["https://a/s1.xml", "https://a/s2.xml"]
+
+
+def test_sitemap_frontier_candidates_antijoin_and_rank(spark):
+    entries = spark.createDataFrame(
+        [("a", "https://a/1", None, None, 0.9, 0),
+         ("a", "https://a/2", None, None, 0.1, 1),
+         ("a", "https://a/seen", None, None, 1.0, 2)],
+        "host string, loc string, lastmod timestamp, changefreq string, priority double, entry_pos long",
+    )
+    seen = spark.createDataFrame([("https://a/seen",)], "url string")
+    out = sitemap_frontier_candidates(entries, seen).orderBy("host_rank").collect()
+    assert [r["url"] for r in out] == ["https://a/1", "https://a/2"]
+    assert [r["host_rank"] for r in out] == [1, 2]
