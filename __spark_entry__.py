@@ -2607,6 +2607,71 @@ FROM ranked
 """
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style boilerplate removal (L31 in SURVEY §2.10): documents
+    wrapped in synthetic nav/ad/footer chrome, then block-scored (words,
+    integer link-density cross-multiplication) and reassembled
+    (operators/boilerplate.py) — all codegen, no shuffle, no floats."""
+    from webscraper_spark.operators.boilerplate import strip_boilerplate
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="nav"><a href="/">Home</a> <a href="/a">About us page</a></div><p>'),
+            F.col("text"),
+            F.lit("</p><div><a>Buy now cheap deals</a> <a>click here now</a></div>"),
+            F.lit("<footer>Copyright 2026 <a>terms</a></footer>"),
+        ).alias("html"),
+    )
+    return strip_boilerplate(d)
+
+
+_SQL_BOILERPLATE = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<div class="nav"><a href="/">Home</a> <a href="/a">About us page</a></div><p>'
+         || text ||
+         '</p><div><a>Buy now cheap deals</a> <a>click here now</a></div>'
+         || '<footer>Copyright 2026 <a>terms</a></footer>' AS html
+  FROM documents
+),
+split0 AS (
+  SELECT doc_id,
+         string_split_regex(html,
+           '</?(?:p|div|nav|footer|header|aside|section|article|ul|ol|li|h[1-6]|table|tr|td|br)\b[^>]*>'
+         ) AS arr
+  FROM pages
+),
+blocks0 AS (
+  SELECT doc_id, pos - 1 AS block_pos, arr[pos] AS block
+  FROM split0, unnest(generate_series(1, len(arr))) AS t(pos)
+),
+blocks AS (
+  SELECT doc_id, block_pos::BIGINT AS block_pos,
+         trim(regexp_replace(regexp_replace(block, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+         coalesce(list_aggregate(
+           list_transform(regexp_extract_all(block, '(?s)<a\b[^>]*>(.*?)</a>', 1),
+             x -> length(trim(regexp_replace(regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+           'sum'), 0)::BIGINT AS link_chars
+  FROM blocks0
+),
+scored AS (
+  SELECT doc_id, block_pos, text,
+         len(string_split_regex(text, '\s+'))::BIGINT AS n_words,
+         length(text)::BIGINT AS text_chars, link_chars
+  FROM blocks WHERE text <> ''
+),
+verd AS (
+  SELECT *, (n_words >= 5 AND link_chars * 5 <= text_chars * 2) AS keep FROM scored
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN text END, ' ' ORDER BY block_pos), '') AS main_text
+FROM verd GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2653,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap_parse,
         "warc_roundtrip": _q_warc_roundtrip,
         "budget_apportion": _q_budget_apportion,
+        "boilerplate_strip": _q_boilerplate,
         "sequence_packing": _q_sequence_packing,
         "domain_mix_sample": _q_domain_mix,
         "token_count": _q_token_count,
@@ -2719,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SQL_SITEMAP_PARSE,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "budget_apportion": _SQL_BUDGET_APPORTION,
+        "boilerplate_strip": _SQL_BOILERPLATE,
         "sequence_packing": _sql_sequence_packing(),
         "domain_mix_sample": _sql_domain_mix(),
         "token_count": _SQL_TOKEN_COUNT,

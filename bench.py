@@ -537,6 +537,7 @@ def main() -> None:
         "contamination_check", "tfidf_topk", "span_dedup", "recrawl_priority",
         "unigram_lm_score", "mirror_hosts", "pagerank", "hll_distinct",
         "robots_decision", "sitemap_parse", "warc_roundtrip", "budget_apportion",
+        "boilerplate_strip",
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the
