@@ -2672,6 +2672,300 @@ FROM verd GROUP BY doc_id
 """
 
 
+def _cdx_url_expr():
+    """Deterministic capture-URL synth exercising every SURT rule: mixed
+    case, a www. label, an explicit port, unsorted query params, a
+    fragment."""
+    host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("www.H"), (F.col("doc_id") % 20).cast("string"), F.lit(".Example.com")),
+    ).otherwise(
+        F.concat(F.lit("sub"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.org"))
+    )
+    port = F.when(F.col("doc_id") % 11 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/P"), F.col("doc_id").cast("string"))
+    query = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("?b="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 4).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 13 == 0, F.lit("#Sec")).otherwise(F.lit(""))
+    return F.concat(F.lit("https://"), host, port, path, query, frag)
+
+
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over WARC (S13 in SURVEY §2.1): documents packed
+    into WARC blobs (build_warc), read back (read_warc), then indexed —
+    SURT urlkey (scheme/fragment strip, www drop, reversed host labels,
+    sorted query params), payload digest/length, archive locator, and the
+    assembled CDXJ line (operators/cdx.py)."""
+    from webscraper_spark.operators.cdx import build_cdx_index
+    from webscraper_spark.sources.warc import build_warc, read_warc
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select(
+        _cdx_url_expr().alias("url"),
+        F.lit("2026-02-03T04:05:06Z").alias("warc_date"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("doc_id") % 10).alias("fid"),
+    )
+    blobs = build_warc(d, file_key=F.col("fid"))
+    return build_cdx_index(read_warc(blobs))
+
+
+_SQL_CDX_URL = """
+CASE WHEN doc_id % 3 = 0
+     THEN 'www.H' || (doc_id % 20)::VARCHAR || '.Example.com'
+     ELSE 'sub' || (doc_id % 5)::VARCHAR || '.example.org' END
+|| CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+|| '/P' || doc_id::VARCHAR
+|| CASE WHEN doc_id % 2 = 0
+        THEN '?b=' || (doc_id % 7)::VARCHAR || '&a=' || (doc_id % 4)::VARCHAR
+        ELSE '' END
+|| CASE WHEN doc_id % 13 = 0 THEN '#Sec' ELSE '' END
+"""
+
+_SQL_CDX_INDEX = rf"""
+WITH caps AS (
+  SELECT doc_id, text, (doc_id % 10)::BIGINT AS warc_file_id,
+         'https://' || {_SQL_CDX_URL} AS url
+  FROM documents
+),
+recs AS (
+  SELECT *,
+         (row_number() OVER (PARTITION BY warc_file_id ORDER BY url) - 1)::BIGINT AS rec_pos
+  FROM caps
+),
+surt AS (
+  SELECT *,
+         regexp_replace(regexp_replace(lower(url), '#.*$', ''), '^[a-z][a-z0-9+.-]*://', '') AS rest
+  FROM recs
+),
+parts AS (
+  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail
+  FROM surt
+),
+keyed AS (
+  SELECT *,
+         array_to_string(list_reverse(string_split(
+           regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\.', ''), '.')), ',')
+         || regexp_extract(hostport, '(:[0-9]+)$', 1) || ')'
+         || CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+                 ELSE regexp_extract(tail, '^([^?]*)', 1) END
+         || CASE WHEN regexp_extract(tail, '\?(.*)$', 1) = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(string_split(
+                        regexp_extract(tail, '\?(.*)$', 1), '&')), '&') END AS urlkey,
+         md5(text) AS digest,
+         octet_length(encode(text))::BIGINT AS length
+  FROM parts
+)
+SELECT urlkey, '20260203040506' AS timestamp, url, digest, length, warc_file_id, rec_pos,
+       urlkey || ' 20260203040506 {{"url": "' || url || '", "digest": "' || digest
+       || '", "length": ' || length::VARCHAR || ', "file": ' || warc_file_id::VARCHAR
+       || ', "pos": ' || rec_pos::VARCHAR || '}}' AS cdxj
+FROM keyed
+"""
+
+
+_ANCHOR_VOCAB = ["home", "click here", "read more", "next page",
+                 "official site", "photos", "contact", "blog"]
+
+
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (L32 in SURVEY §2.10): a synthetic
+    link graph (4 outlinks per doc, targets h60-bucketed into 211 pages,
+    anchors drawn from an 8-phrase vocabulary by hash) aggregated into a
+    per-target anchor document — inlink count, distinct anchors, top-3
+    anchors by frequency (operators/graph.py anchor_profile)."""
+    from webscraper_spark.operators.graph import anchor_profile
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    vocab = F.array(*[F.lit(v) for v in _ANCHOR_VOCAB])
+    links = F.array(
+        *[
+            F.struct(
+                (
+                    h60(F.concat(F.lit("ad:"), F.col("doc_id").cast("string"), F.lit(f":{i}")))
+                    % 211
+                ).alias("dst"),
+                F.element_at(
+                    vocab,
+                    (
+                        h60(F.concat(F.lit("at:"), F.col("doc_id").cast("string"), F.lit(f":{i}")))
+                        % 8
+                    ).cast("int")
+                    + 1,
+                ).alias("anchor"),
+            )
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    edges = d.select(F.col("doc_id").alias("src"), F.explode(links).alias("l")).select(
+        "src", F.col("l.dst").alias("dst"), F.col("l.anchor").alias("anchor")
+    )
+    return anchor_profile(edges, k=3)
+
+
+def _sql_anchor_text() -> str:
+    vocab = "[" + ", ".join(f"'{v}'" for v in _ANCHOR_VOCAB) + "]"
+    hd = _sql_h60("'ad:' || CAST(doc_id AS VARCHAR) || ':' || i::VARCHAR")
+    ha = _sql_h60("'at:' || CAST(doc_id AS VARCHAR) || ':' || i::VARCHAR")
+    return f"""
+WITH e AS (
+  SELECT doc_id AS src,
+         (({hd}) % 211)::BIGINT AS dst,
+         ({vocab})[(({ha}) % 8 + 1)::INT] AS anchor
+  FROM documents, unnest([1, 2, 3, 4]) AS u(i)
+),
+c AS (SELECT dst, anchor, count(*)::BIGINT AS cnt FROM e GROUP BY dst, anchor),
+r AS (SELECT *, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rnk FROM c),
+t AS (SELECT dst, string_agg(anchor, '|' ORDER BY rnk) AS top_anchors
+      FROM r WHERE rnk <= 3 GROUP BY dst)
+SELECT c.dst, sum(c.cnt)::BIGINT AS inlinks, count(*)::BIGINT AS n_anchors, t.top_anchors
+FROM c JOIN t USING (dst)
+GROUP BY c.dst, t.top_anchors
+"""
+
+
+def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage report via ROLLUP (A5 in SURVEY §2.4): doc count,
+    char mass, and token mass per (source, lang), per source, and grand
+    total in ONE pass — Spark's Expand operator replicates each input row
+    per grouping set before a single hash aggregation, so the three
+    report levels cost one shuffle instead of three jobs. grouping_id
+    disambiguates genuine NULL keys from subtotal rows."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(token_count(F.col("text"))).alias("sum_tokens"),
+        )
+        .select("source", "lang", "gid", "n_docs", "sum_chars", "sum_tokens")
+    )
+
+
+_SQL_CORPUS_ROLLUP = r"""
+SELECT source, lang, grouping(source, lang)::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS sum_tokens
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta (L33 in SURVEY §2.10): two deterministic
+    snapshots of the corpus — run B drops every 7th URL, rewrites every
+    5th payload, and discovers a new URL per 9th doc — full-outer joined
+    on url with h60 content fingerprints into per-URL verdicts
+    added/removed/changed/unchanged (operators/delta.py)."""
+    from webscraper_spark.operators.delta import snapshot_delta
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    prev = d.select(url.alias("url"), h60(F.concat(F.lit("fp:"), F.col("text"))).alias("fp"))
+    curr_kept = d.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        h60(
+            F.concat(
+                F.lit("fp:"),
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" v2")).otherwise(F.lit("")),
+            )
+        ).alias("fp"),
+    )
+    curr_new = d.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/new"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        h60(F.concat(F.lit("fp:new:"), F.col("doc_id").cast("string"))).alias("fp"),
+    )
+    return snapshot_delta(prev, curr_kept.unionAll(curr_new))
+
+
+def _sql_crawl_delta() -> str:
+    fp_prev = _sql_h60("'fp:' || text")
+    fp_curr = _sql_h60("'fp:' || text || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END")
+    fp_new = _sql_h60("'fp:new:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH prev AS (
+  SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example/d' || doc_id::VARCHAR AS url,
+         ({fp_prev})::BIGINT AS fp
+  FROM documents
+),
+curr AS (
+  SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example/d' || doc_id::VARCHAR AS url,
+         ({fp_curr})::BIGINT AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example/new' || doc_id::VARCHAR AS url,
+         ({fp_new})::BIGINT AS fp
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT coalesce(prev.url, curr.url) AS url,
+       prev.fp AS fp_prev, curr.fp AS fp_curr,
+       CASE WHEN prev.fp IS NULL THEN 'added'
+            WHEN curr.fp IS NULL THEN 'removed'
+            WHEN prev.fp <> curr.fp THEN 'changed'
+            ELSE 'unchanged' END AS verdict
+FROM prev FULL OUTER JOIN curr ON prev.url = curr.url
+"""
+
+
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (L34 in SURVEY §2.10):
+    target = the English slice of the corpus, raw = everything; per-doc
+    fixed-point integer sum of per-bucket likelihood ratios
+    (operators/dsir.py) — replayed bit-for-bit by the oracle's integer
+    CTE chain."""
+    from webscraper_spark.operators.dsir import importance_weights
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return importance_weights(d, F.col("lang") == "en", n_buckets=512)
+
+
+def _sql_dsir_importance(n_buckets: int = 512, q_scale: int = 1 << 16) -> str:
+    h = _sql_h60("'dsir:' || gram")
+    return rf"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS is_t,
+         toks[i] || ' ' || toks[i + 1] AS gram
+  FROM toked, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+bucketed AS (SELECT doc_id, is_t, (({h}) % {n_buckets})::BIGINT AS bucket FROM grams),
+bb AS (SELECT bucket, sum(is_t)::BIGINT AS cnt_t, count(*)::BIGINT AS cnt_s
+       FROM bucketed GROUP BY bucket),
+tot AS (SELECT sum(cnt_t)::BIGINT AS tot_t, sum(cnt_s)::BIGINT AS tot_s FROM bb),
+w AS (SELECT bucket,
+             (((cnt_t + 1) * (tot_s + {n_buckets}) * {q_scale})
+              // ((cnt_s + 1) * (tot_t + {n_buckets})))::BIGINT AS weight
+      FROM bb, tot),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams, sum(weight)::BIGINT AS score
+       FROM bucketed JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(sc.score, 0)::BIGINT AS score
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2735,6 +3029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
+        "cdx_index": _q_cdx_index,
+        "anchor_text_agg": _q_anchor_text,
+        "corpus_rollup": _q_corpus_rollup,
+        "crawl_delta": _q_crawl_delta,
+        "dsir_importance": _q_dsir_importance,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -2802,5 +3101,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_resize": _sql_multimodal_resize(),
+        "cdx_index": _SQL_CDX_INDEX,
+        "anchor_text_agg": _sql_anchor_text(),
+        "corpus_rollup": _SQL_CORPUS_ROLLUP,
+        "crawl_delta": _sql_crawl_delta(),
+        "dsir_importance": _sql_dsir_importance(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

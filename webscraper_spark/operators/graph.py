@@ -94,3 +94,52 @@ def pagerank_fixed_point(
     out._rank_cache = out  # explicit unpersist handle (tfidf _tf_cache contract)
     out._nodes_cache = nodes
     return out
+
+
+def anchor_profile(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Inbound anchor-text aggregation per target URL (L32, SURVEY §2.10).
+
+    Search engines and LLM-corpus builders treat the anchor text of a
+    page's inbound links as an independent description of the page
+    (Brin & Page 1998 §2.2 store anchors WITH the target, not the
+    source; the "anchor document" is a standard web-IR artifact). The
+    reference harvests hrefs but drops their text
+    (`/root/reference/app/controllers/cars_controller.rb:142` maps
+    `a['href']` only); at corpus scale the aggregation is the engine's
+    job.
+
+    Input: one row per link — (src, dst, anchor). Output: one row per
+    dst — total inbound links, distinct anchor strings, and the top-k
+    anchors by frequency (count desc, anchor asc tiebreak) joined as
+    `top_anchors` ("a|b|c").
+
+    Scale notes: two map-side-combinable hash aggregations keyed on
+    (dst, anchor) then dst — both partial-agg friendly, so a dst with
+    10^7 inlinks ("home"-page skew) collapses per map task before the
+    shuffle. The top-k window runs over the already-collapsed
+    (dst, anchor) relation (distinct anchors per dst, small), and Spark
+    rewrites rank-filter windows to WindowGroupLimit (per-partition
+    top-k before the shuffle). No Python, no explode of the heavy side.
+    """
+    from pyspark.sql import Window
+
+    counts = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    top = (
+        ranked.filter(F.col("rnk") <= k)
+        .groupBy("dst")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "anchor"))),
+                    lambda s: s.anchor,
+                ),
+                "|",
+            ).alias("top_anchors")
+        )
+    )
+    totals = counts.groupBy("dst").agg(
+        F.sum("cnt").alias("inlinks"), F.count("*").alias("n_anchors")
+    )
+    return totals.join(top, "dst")
