@@ -537,7 +537,8 @@ def main() -> None:
         "contamination_check", "tfidf_topk", "span_dedup", "recrawl_priority",
         "unigram_lm_score", "mirror_hosts", "pagerank", "hll_distinct",
         "robots_decision", "sitemap_parse", "warc_roundtrip", "budget_apportion",
-        "boilerplate_strip",
+        "boilerplate_strip", "cdx_index", "anchor_text_agg", "corpus_rollup",
+        "crawl_delta", "dsir_importance",
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the
@@ -551,7 +552,7 @@ def main() -> None:
     udf_bound = {
         "minhash_lsh_pairs", "simhash_pairs", "embedding_cosine_topk",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
-        "neardup_clusters", "warc_roundtrip",
+        "neardup_clusters", "warc_roundtrip", "cdx_index",
     }
     base_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     for name in bench_queries:
