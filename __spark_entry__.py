@@ -2966,6 +2966,546 @@ FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
 """
 
 
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-quality filtering (L35 in SURVEY §2.10): deterministic URLs
+    planted with each violation class — blocklist keyword, 10-deep path,
+    8-param query, digit-heavy slug, tracking params — scored into
+    integer features + a first-failing-rule verdict, all codegen
+    (operators/urlfilter.py)."""
+    from webscraper_spark.operators.urlfilter import url_filter
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id")
+    seg = F.concat(F.lit("/s"), (i % 9).cast("string"))
+    path = F.when(
+        i % 17 == 0,
+        F.concat(*([seg] * 9), F.lit("/leaf")),  # depth 10
+    ).otherwise(F.concat(F.lit("/cat"), seg, F.lit("/item-"), i.cast("string")))
+    path = F.when(
+        i % 13 == 0, F.concat(F.lit("/p/"), (i * 7919).cast("string"))
+    ).otherwise(path)
+    path = F.when(i % 23 == 0, F.lit("/best-casino-bonus")).otherwise(path)
+    query = (
+        F.when(
+            i % 19 == 0,
+            F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7"),
+        )
+        .when(i % 7 == 0, F.concat(F.lit("?id="), i.cast("string"), F.lit("&utm_source=feed")))
+        .when(i % 2 == 0, F.concat(F.lit("?page="), (i % 50).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://h"), (i % 40).cast("string"), F.lit(".example.com"), path, query
+    )
+    return url_filter(d.select("doc_id", url.alias("url")))
+
+
+def _sql_url_filter() -> str:
+    # Mirrors the synthesis AND the feature/verdict rules of
+    # operators/urlfilter.py (BLOCK_KEYWORDS alternation, depth/param
+    # caps, digit cross-multiplication, tracking regex).
+    return r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 23 = 0 THEN '/best-casino-bonus'
+         WHEN doc_id % 13 = 0 THEN '/p/' || (doc_id * 7919)::VARCHAR
+         WHEN doc_id % 17 = 0 THEN repeat('/s' || (doc_id % 9)::VARCHAR, 9) || '/leaf'
+         ELSE '/cat/s' || (doc_id % 9)::VARCHAR || '/item-' || doc_id::VARCHAR END AS path,
+    CASE WHEN doc_id % 19 = 0 THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7'
+         WHEN doc_id % 7 = 0 THEN '?id=' || doc_id::VARCHAR || '&utm_source=feed'
+         WHEN doc_id % 2 = 0 THEN '?page=' || (doc_id % 50)::VARCHAR
+         ELSE '' END AS query
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, path,
+    'https://h' || (doc_id % 40)::VARCHAR || '.example.com' || path || query AS url,
+    (len(string_split(path, '/')) - 1)::INT AS depth,
+    (CASE WHEN query = '' THEN 0 ELSE len(string_split(ltrim(query, '?'), '&')) END)::INT AS n_params,
+    regexp_extract(path, '([^/]*)$', 1) AS slug,
+    (CASE WHEN query = '' THEN ''::VARCHAR ELSE ltrim(query, '?') END) AS qs
+  FROM u
+),
+f2 AS (
+  SELECT doc_id, url, depth, n_params,
+    length(slug)::INT AS slug_len,
+    length(regexp_replace(slug, '[^0-9]', '', 'g'))::INT AS slug_digits,
+    regexp_matches(qs, '(^|&)(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=') AS has_tracking,
+    regexp_matches('h' || (doc_id % 40)::VARCHAR || '.example.com' || path,
+                   '(casino|viagra|warez|phishing|malware)') AS blocked_kw
+  FROM feat
+)
+SELECT doc_id, url, depth, n_params, slug_len, slug_digits, has_tracking, blocked_kw,
+  CASE WHEN blocked_kw THEN 'drop:blocklist'
+       WHEN depth > 8 THEN 'drop:depth'
+       WHEN n_params > 6 THEN 'drop:params'
+       WHEN slug_len >= 4 AND slug_digits * 2 > slug_len * 1 THEN 'drop:digits'
+       WHEN has_tracking THEN 'keep:strip_tracking'
+       ELSE 'keep' END AS verdict
+FROM f2
+"""
+
+
+_MIME_MAGIC_PY = {
+    0: b"\xff\xd8\xff\xe0",
+    1: b"\x89PNG",
+    2: b"GIF8",
+    3: b"%PDF",
+    4: b"PK\x03\x04",
+    5: b"\x1f\x8b\x08",
+}
+_MIME_LABEL = {
+    0: ("image/jpeg", "multimodal"),
+    1: ("image/png", "multimodal"),
+    2: ("image/gif", "multimodal"),
+    3: ("application/pdf", "archive"),
+    4: ("application/zip", "archive"),
+    5: ("application/gzip", "archive"),
+    6: ("text/html", "extract"),
+    7: ("application/octet-stream", "quarantine"),
+}
+
+
+def _q_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME sniffing + modality routing (S14 in SURVEY §2.1): payloads
+    synthesized with real magic bytes (jpeg/png/gif/pdf/zip/gzip), an
+    HTML prefix, or plain text by doc_id % 8; the engine sniffs the
+    leading bytes (hex-prefix CASE, pure codegen — operators/mime.py)
+    and routes each record to its processing lane. The oracle derives
+    the expected label from the synthesis rule, so a broken sniffer
+    cannot pass."""
+    from webscraper_spark.operators.mime import route_by_mime
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    m = F.col("doc_id") % 8
+    payload = None
+    for k, magic in _MIME_MAGIC_PY.items():
+        c = F.concat(F.lit(magic), F.encode(F.col("text"), "utf-8"))
+        payload = F.when(m == k, c) if payload is None else payload.when(m == k, c)
+    payload = payload.when(
+        m == 6, F.encode(F.concat(F.lit("  <html><body>"), F.col("text")), "utf-8")
+    ).otherwise(F.encode(F.concat(F.lit("plain "), F.col("text")), "utf-8"))
+    routed = route_by_mime(d.select("doc_id", payload.alias("payload")))
+    return routed.select(
+        "doc_id", "mime", "lane", F.length("payload").cast("long").alias("n_bytes")
+    )
+
+
+def _sql_mime_route() -> str:
+    label_cases = "\n".join(
+        f"       WHEN doc_id % 8 = {k} THEN '{mime}'" for k, (mime, _) in _MIME_LABEL.items()
+    )
+    lane_cases = "\n".join(
+        f"       WHEN doc_id % 8 = {k} THEN '{lane}'" for k, (_, lane) in _MIME_LABEL.items()
+    )
+    magic_len = {k: len(v) for k, v in _MIME_MAGIC_PY.items()}
+    len_cases = "\n".join(
+        f"       WHEN doc_id % 8 = {k} THEN {n}" for k, n in magic_len.items()
+    )
+    return f"""
+SELECT doc_id,
+  CASE {label_cases} END AS mime,
+  CASE {lane_cases} END AS lane,
+  (octet_length(encode(text)) +
+   CASE {len_cases}
+        WHEN doc_id % 8 = 6 THEN octet_length(encode('  <html><body>'))
+        ELSE octet_length(encode('plain ')) END)::BIGINT AS n_bytes
+FROM documents
+"""
+
+
+def _q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles per (source, lang) (A6 in SURVEY §2.4):
+    n_chars p50/p90/p99 as the element at rank ceil(q*n) — integer-exact,
+    engine-independent (no interpolation, no sketch), via one window
+    shuffle (operators/quantiles.py)."""
+    from webscraper_spark.operators.quantiles import exact_group_quantiles
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_group_quantiles(d, ["source", "lang"], "n_chars", (0.5, 0.9, 0.99))
+
+
+_SQL_GROUP_QUANTILES = """
+WITH r AS (
+  SELECT source, lang, n_chars,
+         row_number() OVER (PARTITION BY source, lang ORDER BY n_chars) AS rnk,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+SELECT source, lang, q AS q_permille, n_chars AS value
+FROM r, (VALUES (500), (900), (990)) qs(q)
+WHERE rnk = (q * n + 999) // 1000
+"""
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (L37 in SURVEY §2.10): the same synthetic
+    outlink graph as `pagerank`, 8 power iterations with integer
+    max-normalization (operators/graph.py hits_fixed_point) — every hub
+    and authority score replayed bit-for-bit by the oracle's chained
+    integer CTEs."""
+    from webscraper_spark.operators.graph import hits_fixed_point
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    h60(
+                        F.concat(
+                            F.lit("edge:"), F.col("doc_id").cast("string"), F.lit(f":{i}")
+                        )
+                    )
+                    % F.lit(n)
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return hits_fixed_point(edges, n_iter=8)
+
+
+def _sql_hits(n_iter: int = 8, scale: int = 10**6) -> str:
+    """DuckDB replay of hits_fixed_point: per iteration, an inbound-sum +
+    max-normalize pair for authorities then the same for hubs, all
+    integer arithmetic. Every chained CTE is MATERIALIZED: DuckDB
+    inlines multiply-referenced CTEs by default, and the a{k}/h{k} chain
+    (each referenced twice) would otherwise expand to 2^n_iter copies of
+    the whole prefix — thousands of parquet opens (observed as 'Too many
+    open files')."""
+    hashes = ", ".join(
+        "(" + _sql_h60("'edge:' || CAST(doc_id AS VARCHAR) || ':%d'" % i) + ")"
+        for i in (1, 2, 3)
+    )
+    parts = [
+        "nd AS MATERIALIZED (SELECT max(doc_id) + 1 AS n FROM documents)",
+        f"""edges AS MATERIALIZED (
+  SELECT doc_id AS src, h % (SELECT n FROM nd) AS dst
+  FROM documents, unnest([{hashes}]) AS u(h)
+)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS hub FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts += [
+            f"""a{k}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub)::BIGINT AS a
+  FROM edges e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst
+)""",
+            f"a{k}m AS MATERIALIZED (SELECT greatest(max(a), 1)::BIGINT AS m FROM a{k}r)",
+            f"""a{k} AS MATERIALIZED (
+  SELECT n.node, ((coalesce(r.a, 0) * {scale}) // m)::BIGINT AS auth
+  FROM nodes n LEFT JOIN a{k}r r ON n.node = r.node, a{k}m
+)""",
+            f"""h{k}r AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth)::BIGINT AS h
+  FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+)""",
+            f"h{k}m AS MATERIALIZED (SELECT greatest(max(h), 1)::BIGINT AS m FROM h{k}r)",
+            f"""h{k} AS MATERIALIZED (
+  SELECT n.node, ((coalesce(r.h, 0) * {scale}) // m)::BIGINT AS hub
+  FROM nodes n LEFT JOIN h{k}r r ON n.node = r.node, h{k}m
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT h.node, h.hub, a.auth FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node"
+    )
+
+
+def _q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dynamic quality thresholding (L36 in SURVEY §2.10):
+    keep each language's top decile by quality score — threshold = the
+    group's exact type-1 p90 (an element of the data, engine-exact),
+    computed by the RLE quantile plan and broadcast back
+    (operators/quantiles.py quantile_threshold_filter)."""
+    from webscraper_spark.operators.quantiles import quantile_threshold_filter
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_threshold_filter(scored, ["lang"], "quality", 0.9).select(
+        "doc_id", "lang", "quality", "threshold", "kept"
+    )
+
+
+def _sql_quality_threshold() -> str:
+    return f"""
+WITH q AS ({_SQL_QUALITY}),
+j AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+r AS (
+  SELECT lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+),
+t AS (SELECT lang, quality AS threshold FROM r WHERE rnk = (900 * n + 999) // 1000)
+SELECT j.doc_id, j.lang, j.quality, t.threshold, j.quality >= t.threshold AS kept
+FROM j JOIN t USING (lang)
+"""
+
+
+def _q_degree_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Super-node degree capping (L39 in SURVEY §2.10): a deliberately
+    skewed graph — EVERY document links to node 0, plus 2 hash-derived
+    outlinks — capped to 16 inbound edges per target by deterministic
+    h60 rank (operators/graph.py cap_degree; WindowGroupLimit collapses
+    the super-node map-side). The oracle replays the hash rank, so the
+    exact kept-edge SET is verified, not just counts."""
+    from webscraper_spark.operators.graph import cap_degree
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    hashed = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    h60(
+                        F.concat(F.lit("edge:"), F.col("doc_id").cast("string"), F.lit(f":{i}"))
+                    )
+                    % F.lit(n)
+                    for i in (1, 2)
+                ]
+            )
+        ).alias("dst"),
+    )
+    star = d.select(F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    return cap_degree(star.unionByName(hashed), k=16)
+
+
+def _sql_degree_cap() -> str:
+    h1 = _sql_h60("'edge:' || CAST(doc_id AS VARCHAR) || ':1'")
+    h2 = _sql_h60("'edge:' || CAST(doc_id AS VARCHAR) || ':2'")
+    rk = _sql_h60("'degcap:' || CAST(src AS VARCHAR) || '>' || CAST(dst AS VARCHAR)")
+    return f"""
+WITH nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, 0::BIGINT AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, h % (SELECT n FROM nd) AS dst
+  FROM documents, unnest([({h1}), ({h2})]) AS u(h)
+),
+r AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY dst ORDER BY ({rk}) ASC, src ASC, dst ASC) AS rnk
+  FROM e
+)
+SELECT src, dst FROM r WHERE rnk <= 16
+"""
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (L38 in SURVEY §2.10): corpus text planted
+    with decomposed accents (e+U+0301), C0 control bytes, and whitespace
+    soup; cleaned by the codegen regexp chain and NFC-composed by the
+    Arrow-batched UDF (functions/normalize.py) — DuckDB's nfc_normalize
+    replays the composition byte-for-byte."""
+    from webscraper_spark.functions.normalize import normalize_text
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.when(i % 5 == 0, F.lit("\x07\x01")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(i % 2 == 0, F.lit("  spaced\tout")).otherwise(F.lit("")),
+        # decomposed e+U+0301: NFC must actually compose it
+        F.when(i % 3 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+    )
+    out = normalize_text(messy)
+    return d.select("doc_id", out.alias("norm_text"), F.length(out).cast("long").alias("n_norm"))
+
+
+def _sql_text_normalize() -> str:
+    return r"""
+WITH messy AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN chr(7) || chr(1) ELSE '' END)
+    || text
+    || (CASE WHEN doc_id % 2 = 0 THEN '  spaced' || chr(9) || 'out' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END) AS t
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+    nfc_normalize(trim(regexp_replace(
+      regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      '\s+', ' ', 'g'))) AS norm_text
+  FROM messy
+)
+SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_norm FROM norm
+"""
+
+
+def _q_event_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rates (A7 in SURVEY §2.4): per event_type x
+    6-hour bucket — event count, EXACT distinct users, and an integer-
+    exact value mass. Three discipline choices make it oracle-able:
+    (a) the bucket is epoch-floor integer arithmetic, not F.window()
+    (same result — Spark's tumbling window IS epoch-floored — but a
+    BIGINT start avoids session-timezone rendering entirely);
+    (b) value mass sums CAST(floor(value*1000) AS BIGINT) — summing the
+    raw doubles is addition-order-dependent and unverifiable;
+    (c) countDistinct is exact (Spark expands it to a two-level agg;
+    the HLL sketch family — L30 — is the approximate path at 100 TB)."""
+    d = spark.read.parquet(_t(sf_dir, "events"))
+    # ANSI mode forbids CAST(timestamp AS LONG); unix_seconds is the
+    # sanctioned epoch accessor (NTZ -> LTZ cast is exact: session tz is
+    # UTC engine-wide, session.py).
+    bucket = (F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) div 21600") * 21600).alias(
+        "bucket_start"
+    )
+    return (
+        d.groupBy("event_type", bucket)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_millis"),
+        )
+        .select("event_type", "bucket_start", "n_events", "n_users", "value_millis")
+    )
+
+
+_SQL_EVENT_WINDOW_RATES = """
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT AS value_millis
+FROM events
+GROUP BY event_type, bucket_start
+"""
+
+
+def _q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (S15 in SURVEY §2.1): per-host feed bodies
+    synthesized from documents — even hosts publish RSS 2.0 (<item>,
+    text <link>, RFC-822 pubDate), odd hosts Atom (<entry>, href link
+    attr, ISO updated) — parsed in one dual-dialect codegen pass
+    (operators/feed.py). Published timestamps stay strings: format
+    policy belongs to the caller (see feed.py docstring)."""
+    from webscraper_spark.operators.feed import parse_feed
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id")
+    hostn = i % 20
+    host = F.concat(F.lit("h"), hostn.cast("string"), F.lit(".example"))
+    link = F.concat(F.lit("https://"), host, F.lit("/p"), i.cast("string"))
+    dd = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    rss_entry = F.concat(
+        F.lit("<item><title>T"), i.cast("string"), F.lit("</title><link>"), link,
+        F.lit("</link><guid>g"), i.cast("string"), F.lit("</guid>"),
+        F.when(
+            i % 3 != 0,
+            F.concat(F.lit("<pubDate>Mon, "), dd, F.lit(" Jan 2026 08:00:00 GMT</pubDate>")),
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>T"), i.cast("string"),
+        F.lit('</title><link rel="alternate" href="'), link,
+        F.lit('"/><id>tag:'), i.cast("string"), F.lit("</id>"),
+        F.when(
+            i % 3 != 0,
+            F.concat(F.lit("<updated>2026-01-"), dd, F.lit("T08:00:00Z</updated>")),
+        ).otherwise(F.lit("")),
+        F.lit("</entry>"),
+    )
+    entry = F.when(hostn % 2 == 0, rss_entry).otherwise(atom_entry)
+    xml = (
+        d.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><feed>'),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</feed>"),
+            ).alias("feed_xml")
+        )
+    )
+    return parse_feed(xml)
+
+
+_SQL_FEED_PARSE = """
+WITH e AS (
+  SELECT doc_id,
+         'h' || (doc_id % 20)::VARCHAR || '.example' AS host,
+         (doc_id % 20) % 2 = 0 AS is_rss,
+         'https://h' || (doc_id % 20)::VARCHAR || '.example/p' || doc_id::VARCHAR AS link,
+         lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS dd
+  FROM documents
+),
+built AS (
+  SELECT *,
+    CASE WHEN is_rss THEN
+      '<item><title>T' || doc_id::VARCHAR || '</title><link>' || link
+      || '</link><guid>g' || doc_id::VARCHAR || '</guid>'
+      || CASE WHEN doc_id % 3 <> 0
+              THEN '<pubDate>Mon, ' || dd || ' Jan 2026 08:00:00 GMT</pubDate>' ELSE '' END
+      || '</item>'
+    ELSE
+      '<entry><title>T' || doc_id::VARCHAR || '</title><link rel="alternate" href="' || link
+      || '"/><id>tag:' || doc_id::VARCHAR || '</id>'
+      || CASE WHEN doc_id % 3 <> 0
+              THEN '<updated>2026-01-' || dd || 'T08:00:00Z</updated>' ELSE '' END
+      || '</entry>'
+    END AS entry
+  FROM e
+)
+SELECT host,
+       CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS dialect,
+       link,
+       'T' || doc_id::VARCHAR AS title,
+       CASE WHEN is_rss THEN 'g' || doc_id::VARCHAR ELSE 'tag:' || doc_id::VARCHAR END AS guid,
+       CASE WHEN doc_id % 3 <> 0 THEN
+            CASE WHEN is_rss THEN 'Mon, ' || dd || ' Jan 2026 08:00:00 GMT'
+                 ELSE '2026-01-' || dd || 'T08:00:00Z' END
+       END AS published,
+       (row_number() OVER (PARTITION BY host ORDER BY entry) - 1)::BIGINT AS entry_pos
+FROM built
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (P6 in SURVEY §2.2): events.props
+    parsed with Spark's native from_json (schema'd, JVM Jackson path —
+    the JSONL lingua franca of corpus pipelines), aggregated per
+    event_type with integer-exact sum/min/max. The oracle extracts the
+    field with a regexp instead of a JSON parser — an independent
+    derivation, so a from_json regression cannot self-confirm."""
+    d = spark.read.parquet(_t(sf_dir, "events"))
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        d.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events, count(k)::BIGINT AS n_with_k,
+       sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM x GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3034,6 +3574,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "crawl_delta": _q_crawl_delta,
         "dsir_importance": _q_dsir_importance,
+        "url_filter": _q_url_filter,
+        "mime_route": _q_mime_route,
+        "group_quantiles": _q_group_quantiles,
+        "hits_scores": _q_hits,
+        "quality_threshold": _q_quality_threshold,
+        "degree_cap": _q_degree_cap,
+        "text_normalize": _q_text_normalize,
+        "event_window_rates": _q_event_window_rates,
+        "feed_parse": _q_feed_parse,
+        "json_props_extract": _q_json_props,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3106,5 +3656,15 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": _SQL_CORPUS_ROLLUP,
         "crawl_delta": _sql_crawl_delta(),
         "dsir_importance": _sql_dsir_importance(),
+        "url_filter": _sql_url_filter(),
+        "mime_route": _sql_mime_route(),
+        "group_quantiles": _SQL_GROUP_QUANTILES,
+        "hits_scores": _sql_hits(),
+        "quality_threshold": _sql_quality_threshold(),
+        "degree_cap": _sql_degree_cap(),
+        "text_normalize": _sql_text_normalize(),
+        "event_window_rates": _SQL_EVENT_WINDOW_RATES,
+        "feed_parse": _SQL_FEED_PARSE,
+        "json_props_extract": _SQL_JSON_PROPS,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

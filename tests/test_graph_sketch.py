@@ -88,3 +88,86 @@ def test_hll_estimate_accuracy(spark):
     exact = d.select("text").distinct().count()
     est = hll_distinct(d, F.concat(F.lit("hll:"), F.col("text"))).collect()[0]["estimate_raw"]
     assert abs(est - exact) / exact < 0.10  # ~3 sigma of the 1024-register error
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _py_hits(edges, n_iter=8, scale=10**6):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: scale for v in nodes}
+    auth = {}
+    for _ in range(n_iter):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + hub[s]
+        m = max(list(raw_a.values()) or [1]) or 1
+        m = max(m, 1)
+        auth = {v: (raw_a.get(v, 0) * scale) // m for v in nodes}
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + auth[d]
+        m = max(max(list(raw_h.values()) or [1]), 1)
+        hub = {v: (raw_h.get(v, 0) * scale) // m for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_matches_python_exactly(spark):
+    from webscraper_spark.operators.graph import hits_fixed_point
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (4, 4), (5, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits_fixed_point(df, n_iter=8)
+    got = {r["node"]: (r["hub"], r["auth"]) for r in out.collect()}
+    for c in out._hits_caches:
+        c.unpersist()
+    assert got == _py_hits(edges)  # integer-exact, no tolerance
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    from webscraper_spark.operators.graph import hits_fixed_point
+
+    # bipartite-ish: 0..3 are pure hubs pointing at 8/9; 8/9 pure authorities
+    edges = [(i, 8) for i in range(4)] + [(i, 9) for i in range(4)] + [(9, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hits_fixed_point(df, n_iter=8)
+    got = {r["node"]: r for r in out.collect()}
+    for c in out._hits_caches:
+        c.unpersist()
+    assert got[8]["auth"] == max(r["auth"] for r in got.values())
+    top_hub = max(got.values(), key=lambda r: r["hub"])["node"]
+    assert top_hub in range(4)
+    assert got[8]["hub"] == 0  # node 8 has no outlinks
+    for i in range(4):
+        assert got[i]["auth"] == 0  # pure hubs are no authorities
+
+
+def test_cap_degree_super_node(spark):
+    from webscraper_spark.operators.graph import cap_degree
+
+    edges = [(i, 0) for i in range(500)] + [(i, 1 + i % 3) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = cap_degree(df, k=16).collect()
+    by_dst = {}
+    for r in out:
+        by_dst.setdefault(r["dst"], set()).add(r["src"])
+    assert len(by_dst[0]) == 16  # super-node capped
+    for d in (1, 2, 3):
+        assert len(by_dst[d]) == 10  # under-cap nodes untouched
+
+    # hash-rank selection is deterministic: python-side replay
+    kept = sorted(
+        range(500), key=lambda s: (_h60_py(f"degcap:{s}>0"), s)
+    )[:16]
+    assert by_dst[0] == set(kept)
+
+
+def test_cap_degree_parallelism_invariant(spark):
+    from webscraper_spark.operators.graph import cap_degree
+
+    edges = [(i, i % 7) for i in range(400)]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    ra = {(r["src"], r["dst"]) for r in cap_degree(a, k=5).collect()}
+    rb = {(r["src"], r["dst"]) for r in cap_degree(b, k=5).collect()}
+    assert ra == rb  # layout-independent sample (hash rank, not "first k seen")

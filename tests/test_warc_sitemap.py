@@ -97,3 +97,53 @@ def test_sitemap_frontier_candidates_antijoin_and_rank(spark):
     out = sitemap_frontier_candidates(entries, seen).orderBy("host_rank").collect()
     assert [r["url"] for r in out] == ["https://a/1", "https://a/2"]
     assert [r["host_rank"] for r in out] == [1, 2]
+
+
+# ---------------------------------------------------------------- feeds
+
+
+RSS_XML = """<?xml version="1.0"?><rss><channel><title>Chan</title>
+<item><title>First</title><link>https://a.example/1</link><guid isPermaLink="false">g1</guid>
+<pubDate>Mon, 05 Jan 2026 08:00:00 GMT</pubDate></item>
+<item><title>Second
+spans lines</title><link> https://a.example/2 </link></item>
+<item><title>no link, dropped</title></item>
+</channel></rss>"""
+
+ATOM_XML = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<entry><title>E1</title><link rel="alternate" href="https://b.example/x"/>
+<id>tag:b,2026:x</id><updated>2026-01-05T08:00:00Z</updated></entry>
+<entry><title>E2</title><link href="https://b.example/y"/><id>tag:b,2026:y</id></entry>
+</feed>"""
+
+
+def test_parse_feed_rss_and_atom(spark):
+    from webscraper_spark.operators.feed import parse_feed
+
+    df = spark.createDataFrame(
+        [("a.example", RSS_XML), ("b.example", ATOM_XML)], "host string, feed_xml string"
+    )
+    rows = parse_feed(df).collect()
+    rss = sorted([r for r in rows if r["dialect"] == "rss"], key=lambda r: r["entry_pos"])
+    atom = sorted([r for r in rows if r["dialect"] == "atom"], key=lambda r: r["entry_pos"])
+    assert len(rss) == 2  # third item has no link -> dropped
+    assert rss[0]["link"] == "https://a.example/1"
+    assert rss[0]["guid"] == "g1"
+    assert rss[0]["published"] == "Mon, 05 Jan 2026 08:00:00 GMT"
+    assert rss[1]["link"] == "https://a.example/2"  # whitespace trimmed
+    assert rss[1]["title"] == "Second\nspans lines"
+    assert rss[1]["published"] is None
+    assert [a["link"] for a in atom] == ["https://b.example/x", "https://b.example/y"]
+    assert atom[0]["guid"] == "tag:b,2026:x"
+    assert atom[0]["published"] == "2026-01-05T08:00:00Z"
+    assert atom[1]["published"] is None
+
+
+def test_parse_feed_malformed_yields_no_rows(spark):
+    from webscraper_spark.operators.feed import parse_feed
+
+    df = spark.createDataFrame(
+        [("c.example", "<html>not a feed</html>"), ("d.example", "")],
+        "host string, feed_xml string",
+    )
+    assert parse_feed(df).count() == 0

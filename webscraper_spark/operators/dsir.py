@@ -78,9 +78,15 @@ def importance_weights(
         F.explode(bigrams(F.col(text_col))).alias("gram"),
     ).withColumn("bucket", h60(F.concat(F.lit("dsir:"), F.col("gram"))) % n_buckets)
 
+    # by_bucket is the diamond apex: it feeds BOTH totals and the weight
+    # table. Unpersisted, each consumer replays the full gram explosion —
+    # three corpus passes instead of the two the algorithm needs (one to
+    # count, one to score). Persisting costs <= n_buckets rows (~KB);
+    # unpersist via the returned frame's `_dsir_cache` handle (the
+    # repo-wide tfidf _tf_cache contract).
     by_bucket = grams.groupBy("bucket").agg(
         F.sum("is_t").alias("cnt_t"), F.count("*").alias("cnt_s")
-    )
+    ).persist()
     totals = by_bucket.agg(
         F.sum("cnt_t").alias("tot_t"), F.sum("cnt_s").alias("tot_s")
     )
@@ -99,8 +105,10 @@ def importance_weights(
     )
     # Docs with no bigrams (empty/1-token text) score 0, kept explicit:
     base = docs.select(id_col).distinct()
-    return base.join(scored, id_col, "left").select(
+    out = base.join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
     )
+    out._dsir_cache = by_bucket
+    return out

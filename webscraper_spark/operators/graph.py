@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webscraper_spark.operators.dedup import h60
+
 
 def pagerank_fixed_point(
     edges: DataFrame,
@@ -94,6 +96,127 @@ def pagerank_fixed_point(
     out._rank_cache = out  # explicit unpersist handle (tfidf _tf_cache contract)
     out._nodes_cache = nodes
     return out
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 8,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in fixed-point integers.
+
+    Complements PageRank for crawl prioritization: authorities are the
+    pages worth fetching, hubs the listing/sitemap-like pages worth
+    re-crawling for link discovery — exactly the reference's two page
+    classes (search-result pages vs ad pages,
+    `/root/reference/app/controllers/cars_controller.rb:137-142`).
+
+    The textbook power iteration L2-normalizes with a sqrt — a float
+    whose value is engine-dependent. This implementation normalizes each
+    vector by its MAX using integer division (`x * scale div max`):
+    power iteration converges to the principal eigenvector under any
+    normalization, values stay in [0, scale], and every op is integer
+    +,*,div — bit-identical in any engine, so the oracle replays the
+    whole run as chained CTEs. Documented deviation: max-norm scores,
+    same ranking (and the gate checks the integer values exactly).
+
+    Overflow headroom: a node's raw sum is <= n*scale, normalized as
+    sum*scale — needs n*scale^2 < 2^63, i.e. n < 9.2e6 at the default
+    scale 10^6; drop scale to 10^4 for larger graphs (or DECIMAL(38)).
+
+    Scale notes: per iteration, two (edge join thin-vector + map-side
+    combinable sum) rounds — same shape as pagerank_fixed_point, edges
+    bucketable on src/dst for shuffle-free joins. Two deliberate
+    differences from pagerank's laziness, both measured in this repo:
+    (a) the normalization max is a 1-VALUE driver collect per iteration
+    (config-sized), NOT a broadcast crossJoin — the crossJoin embeds the
+    raw-sum subtree twice per iteration, doubling the logical plan each
+    round (2^16-node tree by iteration 8; Catalyst analysis stalls for
+    minutes before any task runs); (b) each normalized vector is
+    localCheckpoint'ed, because even the linear HITS chain (two
+    left-joins + two aggregates per iteration) exhibits superlinear
+    Catalyst analysis growth (~6x per added iteration by depth 6). The
+    vectors are node-cardinality thin, so materializing them is exactly
+    the pagerank `checkpoint_every` tradeoff made unconditional.
+    Returns (node, hub, auth) with an `_hits_caches` unpersist handle
+    (tfidf _tf_cache contract).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    caches = [nodes]
+
+    def _normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(raw)
+        m = raw.agg(F.greatest(F.max(val), F.lit(1)).cast("long")).collect()[0][0]
+        vec = nodes.join(raw, "node", "left").select(
+            "node",
+            F.expr(f"(coalesce({val}, 0L) * {scale}) div {m}").cast("long").alias(out),
+        )
+        return vec.localCheckpoint(eager=False)
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        auth_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = _normalize(auth_raw, "a", "auth")
+        hub_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        hub = _normalize(hub_raw, "h", "hub")
+    out = hub.join(auth, "node").persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(out)
+    out._hits_caches = caches
+    return out
+
+
+def cap_degree(edges: DataFrame, k: int, by: str = "dst", salt: str = "degcap") -> DataFrame:
+    """Deterministic in-degree (or out-degree) cap: keep at most `k`
+    edges per `by`-node, selected by hash rank — the super-node guard.
+
+    A 10^10-edge web graph has nodes with 10^7+ inlinks (home pages,
+    frameworks' "powered-by" footers). Downstream per-node joins and
+    windows (anchor_profile's distinct-anchor window, HITS' edge joins)
+    pay that skew in one reducer; the standard fix is capping per-node
+    degree with an UNBIASED deterministic sample — hash-rank, not
+    "first k seen" (arrival order is partition-layout-dependent and so
+    not parallelism-invariant; a h60 rank over (src,dst) is the same in
+    any engine and any layout).
+
+    Scale notes: one window, and Spark rewrites the rank<=k filter to
+    WindowGroupLimit — each map task keeps its local top-k per node
+    before the shuffle, so the super-node's 10^7 edges collapse to
+    tasks*k rows in flight. No driver state, no sampling RNG.
+    """
+    from pyspark.sql import Window
+
+    rk = h60(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col("src").cast("string"),
+            F.lit(">"),
+            F.col("dst").cast("string"),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(rk.asc(), F.col("src").asc(), F.col("dst").asc())
+    return (
+        edges.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
 
 
 def anchor_profile(edges: DataFrame, k: int = 3) -> DataFrame:
