@@ -538,7 +538,12 @@ def main() -> None:
         "unigram_lm_score", "mirror_hosts", "pagerank", "hll_distinct",
         "robots_decision", "sitemap_parse", "warc_roundtrip", "budget_apportion",
         "boilerplate_strip", "cdx_index", "anchor_text_agg", "corpus_rollup",
-        "crawl_delta", "dsir_importance",
+        "crawl_delta", "dsir_importance", "url_filter", "mime_route",
+        "group_quantiles", "quality_threshold", "degree_cap", "text_normalize",
+        "event_window_rates", "feed_parse", "json_props_extract",
+        # hits_scores deliberately absent: its 16 per-iteration driver
+        # actions make it a latency query, not a throughput query —
+        # pagerank is the benchmarked graph-family representative.
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the
@@ -552,7 +557,7 @@ def main() -> None:
     udf_bound = {
         "minhash_lsh_pairs", "simhash_pairs", "embedding_cosine_topk",
         "embedding_lsh_ann", "embedding_ivf_ann", "embedding_near_dup",
-        "neardup_clusters", "warc_roundtrip", "cdx_index",
+        "neardup_clusters", "warc_roundtrip", "cdx_index", "text_normalize",
     }
     base_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     for name in bench_queries:
