@@ -3506,6 +3506,68 @@ FROM x GROUP BY event_type
 """
 
 
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (L40 in SURVEY §2.10): deterministic
+    redirect edges — intra-block chains (doc_id -> doc_id+1 for
+    doc_id%5<4, so chain lengths 1-4 end at each %5==4 terminal),
+    planted 2-cycles in a disjoint negative-id space (every %101==0
+    doc), and duplicate-src rows (%7==0 adds a second, larger target
+    that the min-dst collapse must ignore) — resolved to final
+    destination + exact hop count by pointer jumping
+    (operators/redirects.py: ceil(log2(max_hops+1)) self-joins, not
+    max_hops sequential ones). The oracle unrolls the same doubling
+    rounds as chained CTEs, so hops and cycle labels replay exactly."""
+    from webscraper_spark.operators.redirects import resolve_redirects
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    chain = d.filter(i % 5 < 4).select(i.alias("src"), (i + 1).alias("dst"))
+    extra = d.filter(i % 7 == 0).select(i.alias("src"), (i + 2).alias("dst"))
+    cyc = d.filter(i % 101 == 0)
+    cyc1 = cyc.select((-(i + 1)).alias("src"), (-(i + 1) - 1_000_000).alias("dst"))
+    cyc2 = cyc.select((-(i + 1) - 1_000_000).alias("src"), (-(i + 1)).alias("dst"))
+    edges = chain.unionByName(extra).unionByName(cyc1).unionByName(cyc2)
+    return resolve_redirects(edges, max_hops=6)
+
+
+def _sql_redirect_resolve(max_hops: int = 6) -> str:
+    # Pointer-jumping replay: same edge synthesis, same min-dst collapse,
+    # one CTE per doubling round (rounds = ceil(log2(max_hops+1))).
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops + 1)))
+    parts = [
+        """edges AS (
+  SELECT doc_id::BIGINT AS src, (doc_id + 1)::BIGINT AS dst
+  FROM documents WHERE doc_id % 5 < 4
+  UNION ALL
+  SELECT doc_id::BIGINT, (doc_id + 2)::BIGINT FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT (-(doc_id + 1))::BIGINT, (-(doc_id + 1) - 1000000)::BIGINT
+  FROM documents WHERE doc_id % 101 = 0
+  UNION ALL
+  SELECT (-(doc_id + 1) - 1000000)::BIGINT, (-(doc_id + 1))::BIGINT
+  FROM documents WHERE doc_id % 101 = 0
+)""",
+        "m0 AS (SELECT src, min(dst) AS dst, 1::BIGINT AS hops FROM edges GROUP BY src)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""m{k} AS (
+  SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+         (CASE WHEN b.src IS NOT NULL THEN a.hops + b.hops ELSE a.hops END)::BIGINT AS hops
+  FROM m{k - 1} a LEFT JOIN m{k - 1} b ON a.dst = b.src
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT src, dst AS final, hops,
+       CASE WHEN hops > {max_hops} THEN 'cycle' ELSE 'resolved' END AS status
+FROM m{rounds}"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3584,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_rates": _q_event_window_rates,
         "feed_parse": _q_feed_parse,
         "json_props_extract": _q_json_props,
+        "redirect_resolve": _q_redirect_resolve,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3666,5 +3729,6 @@ def oracle_sql() -> dict[str, str]:
         "event_window_rates": _SQL_EVENT_WINDOW_RATES,
         "feed_parse": _SQL_FEED_PARSE,
         "json_props_extract": _SQL_JSON_PROPS,
+        "redirect_resolve": _sql_redirect_resolve(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }
