@@ -3568,6 +3568,65 @@ FROM m{rounds}"""
     )
 
 
+_CMS_D, _CMS_W, _CMS_K = 4, 2048, 25
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (L41 in SURVEY §2.10): the events
+    stream mapped to a geometric host distribution (host rank = trailing
+    zeros of event_id: host0-* gets ~n/2 of the stream, host1-* ~n/4,
+    ...), sketched into 4x2048 exact integer counters in one pass, then
+    point-queried for the top-25 hosts (operators/sketch.py cms_topk —
+    the d*w sketch broadcasts into the candidate join). Registers use
+    the auditable h60 cells, so the oracle rebuilds the identical
+    counter table — collisions and all — where Spark's own
+    count_min_sketch() blob could not be replayed."""
+    from webscraper_spark.operators.sketch import cms_topk
+
+    d = spark.read.parquet(_t(sf_dir, "events"))
+    i = F.col("event_id").cast("long")
+    tz = F.when(i % (1 << 10) == 0, F.lit(10))
+    for b in range(9, 0, -1):
+        tz = tz.when(i % (1 << b) == 0, F.lit(b))
+    tz = tz.otherwise(F.lit(0))
+    host = F.concat(
+        F.lit("host"), tz.cast("string"), F.lit("-"),
+        (i % 37).cast("string"), F.lit(".example.com"),
+    )
+    stream = d.select(host.alias("item"))
+    return cms_topk(stream, F.col("item"), d=_CMS_D, w=_CMS_W, k=_CMS_K)
+
+
+def _sql_cms_heavy_hitters() -> str:
+    rs = ", ".join(str(r) for r in range(_CMS_D))
+    tz_case = "CASE " + " ".join(
+        f"WHEN event_id % {1 << b} = 0 THEN {b}" for b in range(10, 0, -1)
+    ) + " ELSE 0 END"
+    h = _sql_h60("'cms' || r::VARCHAR || ':' || item")
+    return f"""
+WITH stream AS (
+  SELECT 'host' || ({tz_case})::VARCHAR || '-' || (event_id % 37)::VARCHAR
+         || '.example.com' AS item
+  FROM events
+),
+cells AS (
+  SELECT item, r, ({h}) % {_CMS_W} AS bucket
+  FROM stream, unnest([{rs}]) AS t(r)
+),
+sketch AS (SELECT r, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY r, bucket),
+cand AS (SELECT DISTINCT item FROM stream),
+cc AS (
+  SELECT item, r, ({h}) % {_CMS_W} AS bucket
+  FROM cand, unnest([{rs}]) AS t(r)
+),
+est AS (
+  SELECT item, min(coalesce(cnt, 0))::BIGINT AS est
+  FROM cc LEFT JOIN sketch USING (r, bucket) GROUP BY item
+)
+SELECT item, est FROM est ORDER BY est DESC, item LIMIT {_CMS_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3647,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": _q_feed_parse,
         "json_props_extract": _q_json_props,
         "redirect_resolve": _q_redirect_resolve,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3730,5 +3790,6 @@ def oracle_sql() -> dict[str, str]:
         "feed_parse": _SQL_FEED_PARSE,
         "json_props_extract": _SQL_JSON_PROPS,
         "redirect_resolve": _sql_redirect_resolve(),
+        "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

@@ -228,3 +228,53 @@ def test_redirects_overcap_chain_and_invariance(spark):
     assert ga[100][2] == "cycle"            # dist 10 > cap, hops clamped at 2^3
     assert ga[106] == (110, 4, "resolved")  # dist exactly at the cap
     assert ga[105][2] == "cycle"            # dist 5: resolved final, over cap
+
+
+# --- count-min sketch heavy hitters (operators/sketch.py, SURVEY 2.10 L41) ---
+
+def _py_cms_topk(values, cands, d, w, k):
+    from collections import Counter
+
+    sketch = Counter()
+    for v in values:
+        for r in range(d):
+            sketch[(r, _h60_py(f"cms{r}:{v}") % w)] += 1
+    est = {c: min(sketch.get((r, _h60_py(f"cms{r}:{c}") % w), 0) for r in range(d))
+           for c in cands}
+    return sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from webscraper_spark.operators.sketch import cms_topk
+
+    values = ["a"] * 50 + ["b"] * 30 + ["c"] * 7 + ["d"] * 2
+    df = spark.createDataFrame([(v,) for v in values], "item string")
+    got = [(r["item"], r["est"]) for r in cms_topk(df, F.col("item"), w=1024, k=3).collect()]
+    # 4 items in 1024 buckets: estimates are the exact counts
+    assert got == [("a", 50), ("b", 30), ("c", 7)]
+
+
+def test_cms_collisions_match_python_replay(spark):
+    from webscraper_spark.operators.sketch import cms_topk
+
+    values = [f"v{i % 23}" for i in range(700)]
+    cands = sorted({f"v{i}" for i in range(23)})
+    df = spark.createDataFrame([(v,) for v in values], "item string")
+    got = [(r["item"], r["est"]) for r in cms_topk(df, F.col("item"), d=3, w=8, k=10).collect()]
+    # w=8 forces collisions: estimates are upper-biased but bit-identical
+    # to the python CMS replay (exact integer registers, same h60 cells)
+    assert got == _py_cms_topk(values, cands, d=3, w=8, k=10)
+    exact = {v: values.count(v) for v in cands}
+    for item, est in got:
+        assert est >= exact[item]  # CMS never underestimates
+
+
+def test_cms_external_candidate_absent_estimates_zero(spark):
+    from webscraper_spark.operators.sketch import cms_topk
+
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "item string")
+    cands = spark.createDataFrame([("x",), ("zzz",)], "item string")
+    got = {r["item"]: r["est"] for r in
+           cms_topk(df, F.col("item"), candidates=cands, w=1024, k=10).collect()}
+    assert got["x"] == 2
+    assert got["zzz"] == 0  # absent candidate -> empty cells -> 0, not dropped

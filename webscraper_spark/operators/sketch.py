@@ -91,3 +91,89 @@ def _hll_from_hash(hashed: DataFrame, p: int) -> DataFrame:
             F.lit(alpha * m * m * float(two_pow)) / F.col("sum_int").cast("double")
         ).alias("estimate_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+def cms_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, 2005) of the `col`
+    stream: d hash rows x w buckets of exact BIGINT counters.
+
+    One pass over the data: each record explodes into its d (row, bucket)
+    cells and a map-side-combinable count collapses them to at most d*w
+    rows — the sketch size is FIXED regardless of stream length, which is
+    the whole point at 10^10-URL scale (a per-host exact count would
+    shuffle every distinct host; the sketch shuffles d*w counters).
+
+    Like hll_distinct, the registers are exact integers keyed by the
+    repo's auditable h60 hash (row r uses h60('cms{r}:' || item)), so an
+    independent engine rebuilds the identical counter table — Spark's own
+    count_min_sketch() aggregate emits an opaque binary blob an oracle
+    cannot replay.
+    """
+    if d < 1 or w < 2:
+        raise ValueError("cms_sketch: need d >= 1, w >= 2")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        (h60(F.concat(F.lit(f"cms{r}:"), col)) % w).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_topk(
+    df: DataFrame,
+    col: Column,
+    candidates: DataFrame | None = None,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k heavy hitters of the `col` stream by count-min estimate.
+
+    `candidates` is the item universe to point-query (one string column
+    named `item`); default is the stream's distinct values — fine when
+    item cardinality (hosts) is orders of magnitude below stream length
+    (URLs), which is the heavy-hitter regime this targets. The d*w-row
+    sketch is broadcast into the candidate join, so the only shuffle is
+    the candidate distinct; estimate = min over the d rows (classic CMS
+    point query, upper-biased only by collisions). Ties at the k
+    boundary break by item ASC — deterministic in any engine.
+    """
+    sketch = cms_sketch(df, col, d=d, w=w)
+    if candidates is None:
+        candidates = df.select(col.alias("item")).distinct()
+    cand_cells = candidates.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        (h60(F.concat(F.lit(f"cms{r}:"), F.col("item"))) % w).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    # Left join + coalesce(0): a candidate not in the stream (external
+    # candidate list) has empty cells and must estimate 0, not vanish.
+    est = (
+        cand_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
+    return est.orderBy(F.col("est").desc(), F.col("item")).limit(k)
