@@ -3627,6 +3627,80 @@ SELECT item, est FROM est ORDER BY est DESC, item LIMIT {_CMS_K}
 """
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining + spider-trap detection (L42 in SURVEY
+    §2.10): URLs synthesized with a 3-slot calendar trap (30% of docs),
+    hex session-id paths (masked to '{hex}' BEFORE the digit rule can
+    shred them), one-slot article listings with query params to strip,
+    and a static page; collapsed to (host, template) groups with trap
+    verdicts (operators/templates.py — two regexp_replace passes + one
+    map-side-combinable aggregate, no UDF). Oracle replays both regexes
+    with the 'g' flag, so templates, counts, examples and verdicts
+    match bit-for-bit."""
+    from webscraper_spark.operators.templates import url_templates
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m = i % 10
+    host = F.concat(F.lit("h"), (i % 4).cast("string"), F.lit(".example.com"))
+    path = (
+        F.when(
+            m < 3,
+            F.concat(
+                F.lit("/cal/2026/"), (i % 12 + 1).cast("string"),
+                F.lit("/"), (i % 28 + 1).cast("string"),
+            ),
+        )
+        .when(
+            m.isin(3, 4),
+            F.concat(F.lit("/s/"), F.lower(F.hex(i * 2654435761 + 4026531840))),
+        )
+        .when(m == 9, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/news/article-"), i.cast("string")))
+    )
+    q = F.when(
+        (m >= 5) & (m <= 8), F.concat(F.lit("?ref="), (i % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    urls = d.select(F.concat(F.lit("https://"), host, path, q).alias("url"))
+    return url_templates(urls, trap_min_urls=20)
+
+
+_SQL_URL_TEMPLATES = r"""
+WITH u AS (
+  SELECT doc_id % 10 AS m,
+         'h' || (doc_id % 4)::VARCHAR || '.example.com' AS host,
+    CASE WHEN doc_id % 10 < 3
+           THEN '/cal/2026/' || (doc_id % 12 + 1)::VARCHAR || '/' || (doc_id % 28 + 1)::VARCHAR
+         WHEN doc_id % 10 IN (3, 4)
+           THEN '/s/' || lower(to_hex(doc_id * 2654435761 + 4026531840))
+         WHEN doc_id % 10 = 9 THEN '/about'
+         ELSE '/news/article-' || doc_id::VARCHAR END AS path,
+    CASE WHEN doc_id % 10 BETWEEN 5 AND 8
+         THEN '?ref=' || (doc_id % 3)::VARCHAR ELSE '' END AS q
+  FROM documents
+),
+t AS (
+  SELECT host,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract('https://' || host || path || q, '^[a-z]+://[^/?#]*(/[^?#]*)', 1)),
+        '[0-9a-f]{8,}', '{hex}', 'g'),
+      '[0-9]+', '{n}', 'g') AS template,
+    'https://' || host || path || q AS url
+  FROM u
+),
+a AS (
+  SELECT host, template, count(*)::BIGINT AS n_urls, min(url) AS example
+  FROM t GROUP BY host, template
+)
+SELECT host, template, n_urls,
+  (length(template) - length(replace(template, '{', '')))::INT AS n_slots,
+  example,
+  (n_urls >= 20 AND length(template) - length(replace(template, '{', '')) >= 2) AS is_trap
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3707,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": _q_json_props,
         "redirect_resolve": _q_redirect_resolve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "url_templates": _q_url_templates,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3791,5 +3866,6 @@ def oracle_sql() -> dict[str, str]:
         "json_props_extract": _SQL_JSON_PROPS,
         "redirect_resolve": _sql_redirect_resolve(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
+        "url_templates": _SQL_URL_TEMPLATES,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

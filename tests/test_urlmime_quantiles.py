@@ -155,3 +155,36 @@ def test_normalize_text(spark):
     df2 = spark.createDataFrame([("\ufb01sh",)], "t string")
     assert df2.select(nfc("t").alias("o")).collect()[0]["o"] == "\ufb01sh"
     assert df2.select(nfc("t", form="NFKC").alias("o")).collect()[0]["o"] == "fish"
+
+
+# --- URL template mining / trap detection (operators/templates.py, L42) ---
+
+def test_url_templates_masking_and_traps(spark):
+    from webscraper_spark.operators.templates import url_templates
+
+    urls = (
+        [f"https://a.example.com/cal/2026/{m}/{d}" for m in range(1, 6) for d in range(1, 5)]
+        + [f"https://a.example.com/news/article-{i}" for i in range(8)]
+        + ["https://a.example.com/s/deadbeefcafe1234", "https://a.example.com/s/0123456789abcdef"]
+        + ["https://b.example.com/about", "https://b.example.com/about"]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["n_slots"], r["is_trap"], r["example"])
+        for r in url_templates(df, trap_min_urls=10).collect()
+    }
+    assert got[("a.example.com", "/cal/{n}/{n}/{n}")] == (
+        20, 3, True, "https://a.example.com/cal/2026/1/1")
+    assert got[("a.example.com", "/news/article-{n}")][0:3] == (8, 1, False)
+    assert got[("a.example.com", "/s/{hex}")][0:3] == (2, 1, False)  # hex masked before digits
+    assert got[("b.example.com", "/about")] == (2, 0, False, "https://b.example.com/about")
+
+
+def test_url_templates_root_and_query_stripping(spark):
+    from webscraper_spark.operators.templates import url_templates
+
+    df = spark.createDataFrame(
+        [("https://c.example.com",), ("https://c.example.com/p?page=9",)], "url string"
+    )
+    got = {r["template"]: r["n_urls"] for r in url_templates(df).collect()}
+    assert got == {"/": 1, "/p": 1}  # bare host -> '/', query params stripped
