@@ -3701,6 +3701,64 @@ FROM a
 """
 
 
+def _q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm host scoring (L43 in SURVEY §2.10): an organic host
+    graph (h60-derived random out-links over 50 hosts, low reciprocity)
+    plus a planted K5 farm ring (f0..f4 fully inter-linked) — scored
+    per host into out/in degree, reciprocated out-links, and an integer
+    cross-multiplied >=3/4-reciprocity farm verdict
+    (operators/graph.py host_spam_score). The farm hosts flag; the
+    organic hosts don't, whatever their degree."""
+    from webscraper_spark.operators.graph import host_spam_score
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    org = d.select(
+        F.concat(F.lit("h"), (i % 50).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (h60(F.concat(F.lit("lnk:"), i.cast("string"))) % 50).cast("string"),
+        ).alias("dst"),
+    )
+    fa, fb = i % 5, F.expr("doc_id div 5") % 5
+    farm = d.filter(fa != fb).select(
+        F.concat(F.lit("f"), fa.cast("string")).alias("src"),
+        F.concat(F.lit("f"), fb.cast("string")).alias("dst"),
+    )
+    return host_spam_score(org.unionByName(farm), min_out=4)
+
+
+def _sql_host_spam(min_out: int = 4, recip_num: int = 3, recip_den: int = 4) -> str:
+    h = _sql_h60("'lnk:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH raw AS (
+  SELECT 'h' || (doc_id % 50)::VARCHAR AS src,
+         'h' || (({h}) % 50)::VARCHAR AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'f' || (doc_id % 5)::VARCHAR, 'f' || ((doc_id // 5) % 5)::VARCHAR
+  FROM documents WHERE (doc_id % 5) <> ((doc_id // 5) % 5)
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+r AS (SELECT e.src, e.dst FROM e JOIN e x ON e.src = x.dst AND e.dst = x.src),
+outd AS (SELECT src AS host, count(*)::BIGINT AS out_deg FROM e GROUP BY src),
+ind AS (SELECT dst AS host, count(*)::BIGINT AS in_deg FROM e GROUP BY dst),
+rc AS (SELECT src AS host, count(*)::BIGINT AS recip_out FROM r GROUP BY src),
+hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e)
+SELECT h.host,
+       coalesce(outd.out_deg, 0)::BIGINT AS out_deg,
+       coalesce(ind.in_deg, 0)::BIGINT AS in_deg,
+       coalesce(rc.recip_out, 0)::BIGINT AS recip_out,
+       (coalesce(outd.out_deg, 0) >= {min_out}
+        AND coalesce(rc.recip_out, 0) * {recip_den} >= coalesce(outd.out_deg, 0) * {recip_num})
+         AS is_farm
+FROM hosts h
+LEFT JOIN outd ON h.host = outd.host
+LEFT JOIN ind ON h.host = ind.host
+LEFT JOIN rc ON h.host = rc.host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3782,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "url_templates": _q_url_templates,
+        "host_spam": _q_host_spam,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3867,5 +3926,6 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": _sql_redirect_resolve(),
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "url_templates": _SQL_URL_TEMPLATES,
+        "host_spam": _sql_host_spam(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

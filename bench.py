@@ -541,7 +541,7 @@ def main() -> None:
         "crawl_delta", "dsir_importance", "url_filter", "mime_route",
         "group_quantiles", "quality_threshold", "degree_cap", "text_normalize",
         "event_window_rates", "feed_parse", "json_props_extract",
-        "redirect_resolve", "cms_heavy_hitters", "url_templates",
+        "redirect_resolve", "cms_heavy_hitters", "url_templates", "host_spam",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

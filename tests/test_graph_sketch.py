@@ -278,3 +278,34 @@ def test_cms_external_candidate_absent_estimates_zero(spark):
            cms_topk(df, F.col("item"), candidates=cands, w=1024, k=10).collect()}
     assert got["x"] == 2
     assert got["zzz"] == 0  # absent candidate -> empty cells -> 0, not dropped
+
+
+# --- link-farm host scoring (operators/graph.py, SURVEY 2.10 L43) ---
+
+def test_host_spam_farm_vs_organic(spark):
+    from webscraper_spark.operators.graph import host_spam_score
+
+    farm = [(f"f{a}", f"f{b}") for a in range(5) for b in range(5) if a != b]
+    organic = [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("a", "f"),
+               ("b", "a"),                       # one reciprocated out-link
+               ("g", "a"), ("a", "a")]           # self-loop dropped
+    df = spark.createDataFrame(farm + organic + farm[:3], "src string, dst string")
+    got = {r["host"]: (r["out_deg"], r["in_deg"], r["recip_out"], r["is_farm"])
+           for r in host_spam_score(df, min_out=4).collect()}
+    for h in ("f0", "f1", "f2", "f3", "f4"):
+        assert got[h] == (4, 4, 4, True)      # K5 ring: fully reciprocal
+    assert got["a"] == (5, 2, 1, False)       # 1/5 reciprocal, under 3/4
+    assert got["b"] == (1, 1, 1, False)       # out_deg below min_out
+    assert got["g"] == (1, 0, 0, False)
+    assert got["f"] == (0, 1, 0, False)       # sink host, no out-links
+
+
+def test_host_spam_threshold_cross_multiplication(spark):
+    from webscraper_spark.operators.graph import host_spam_score
+
+    # host x: 4 out-links, 3 reciprocated -> exactly 3/4 -> flagged (>=)
+    edges = [("x", "p"), ("x", "q"), ("x", "r"), ("x", "s"),
+             ("p", "x"), ("q", "x"), ("r", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["is_farm"] for r in host_spam_score(df, min_out=4).collect()}
+    assert got["x"] is True

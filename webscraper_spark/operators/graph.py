@@ -266,3 +266,59 @@ def anchor_profile(edges: DataFrame, k: int = 3) -> DataFrame:
         F.sum("cnt").alias("inlinks"), F.count("*").alias("n_anchors")
     )
     return totals.join(top, "dst")
+
+
+def host_spam_score(
+    edges: DataFrame,
+    min_out: int = 5,
+    recip_num: int = 3,
+    recip_den: int = 4,
+) -> DataFrame:
+    """Link-farm detection over the host graph (src, dst host strings).
+
+    Link farms — rings of sites exchanging links to inflate importance
+    (Gyongyi & Garcia-Molina, "Web Spam Taxonomy", 2005) — show up as
+    hosts whose OUT-links are overwhelmingly reciprocated. Per host:
+    out_deg / in_deg over the deduplicated cross-host edge set, plus
+    recip_out = how many of its out-links have the reverse edge. Flag
+    is_farm when out_deg >= `min_out` and recip_out/out_deg >=
+    recip_num/recip_den — compared by integer cross-multiplication
+    (recip_out * recip_den >= out_deg * recip_num), no floats, so any
+    engine replays the verdict exactly.
+
+    Scale shape: edges dedup to host-pair cardinality (millions, not the
+    10^10 page-pair edges — callers aggregate page links to host links
+    first); the reciprocity check is one self-equi-join on the swapped
+    key pair, and the three per-host aggregates are map-side
+    combinable. A PageRank-style importance signal (pagerank_fixed_point)
+    says who is IMPORTANT; this says who is COLLUDING — TrustRank-ish
+    demotion feeds the frontier scheduler's priority the same way.
+    """
+    e = (
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"])  # out-links whose reverse exists
+    outd = e.groupBy(F.col("src").alias("host")).agg(F.count("*").alias("out_deg"))
+    ind = e.groupBy(F.col("dst").alias("host")).agg(F.count("*").alias("in_deg"))
+    rc = recip.groupBy(F.col("src").alias("host")).agg(F.count("*").alias("recip_out"))
+    hosts = outd.select("host").unionByName(ind.select("host")).distinct()
+    z = F.lit(0).cast("long")
+    out = (
+        hosts.join(outd, "host", "left")
+        .join(ind, "host", "left")
+        .join(rc, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", z).alias("out_deg"),
+            F.coalesce("in_deg", z).alias("in_deg"),
+            F.coalesce("recip_out", z).alias("recip_out"),
+        )
+    )
+    return out.withColumn(
+        "is_farm",
+        (F.col("out_deg") >= min_out)
+        & (F.col("recip_out") * recip_den >= F.col("out_deg") * recip_num),
+    )
