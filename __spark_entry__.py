@@ -3759,6 +3759,41 @@ LEFT JOIN rc ON h.host = rc.host
 """
 
 
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted corpus matrix (A8 in SURVEY §2.4): per-source doc count
+    and char mass pivoted across the language axis —
+    `groupBy(source).pivot(lang, [explicit values])` so Spark skips the
+    extra distinct-values job and the whole pivot is ONE pass with
+    map-side partial aggregation (an Expand-free PivotFirst plan;
+    corpus reports at 10^10 scale want exactly this shape). Missing
+    (source, lang) cells are coalesced to 0 to match SQL FILTER
+    semantics; the oracle is plain conditional aggregation."""
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    p = (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+    z = F.lit(0).cast("long")
+    cols = [F.col("source")]
+    for lang in _PIVOT_LANGS:
+        cols.append(F.coalesce(F.col(f"{lang}_n"), z).alias(f"{lang}_n"))
+        cols.append(F.coalesce(F.col(f"{lang}_chars"), z).alias(f"{lang}_chars"))
+    return p.select(*cols)
+
+
+def _sql_lang_pivot() -> str:
+    cells = ",\n  ".join(
+        f"coalesce(count(*) FILTER (lang = '{lg}'), 0)::BIGINT AS {lg}_n,\n  "
+        f"coalesce(sum(n_chars) FILTER (lang = '{lg}'), 0)::BIGINT AS {lg}_chars"
+        for lg in _PIVOT_LANGS
+    )
+    return f"SELECT source,\n  {cells}\nFROM documents GROUP BY source"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3841,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "url_templates": _q_url_templates,
         "host_spam": _q_host_spam,
+        "lang_pivot": _q_lang_pivot,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3927,5 +3963,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "url_templates": _SQL_URL_TEMPLATES,
         "host_spam": _sql_host_spam(),
+        "lang_pivot": _sql_lang_pivot(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

@@ -90,3 +90,41 @@ def test_clean_text_is_codegen_nfc_is_arrow(spark):
     full = _plan(df.select(normalize_text("t")))
     assert "ArrowEvalPython" in full          # NFC is the Arrow path...
     assert "BatchEvalPython" not in full      # ...never row-at-a-time Python
+
+
+def test_pivot_explicit_values_single_pass(spark):
+    # lang_pivot (SURVEY A8): pivot with an EXPLICIT value list must not
+    # run a distinct-values collect job — the plan is a (source, lang)
+    # pre-aggregate feeding a pivotfirst aggregate, BOTH with map-side
+    # partials, and no Expand node.
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", ["de", "en", "es"][i % 3], i) for i in range(60)],
+        "source string, lang string, n_chars long",
+    )
+    p = (
+        df.groupBy("source")
+        .pivot("lang", ["de", "en", "es"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+    plan = _plan(p)
+    assert plan.count("Exchange") == 2       # pre-agg + pivotfirst, nothing more
+    assert "partial_pivotfirst" in plan      # pivot itself combines map-side
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_template_mining_is_codegen_single_agg(spark):
+    from webscraper_spark.operators.templates import url_templates
+
+    plan = _plan(url_templates(_urls(spark)))
+    assert "EvalPython" not in plan          # regex masking is codegen
+    assert plan.count("Exchange") == 1       # one shuffle: the group-by
+
+
+def test_cms_sketch_partial_aggregates(spark):
+    from webscraper_spark.operators.sketch import cms_topk
+
+    df = spark.createDataFrame([(f"h{i % 9}",) for i in range(50)], "item string")
+    plan = _plan(cms_topk(df, F.col("item"), d=4, w=64, k=5))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan       # d*w sketch broadcast into point query
