@@ -3794,6 +3794,60 @@ def _sql_lang_pivot() -> str:
     return f"SELECT source,\n  {cells}\nFROM documents GROUP BY source"
 
 
+def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition (L44 in SURVEY §2.10): documents
+    planted with Han blocks, a pure-Han rewrite, and a Cyrillic+Arabic
+    suffix by doc_id%4, profiled into per-script codepoint counts,
+    dominant script (fixed tie-break), and an integer-cross-multiplied
+    90% is_mixed flag (functions/text.py script_profile — all codegen
+    regexp, the standard pre-langid router: langid() assumes a
+    space-tokenized alphabet and is meaningless on Han text). Oracle
+    uses RE2's \\p{Latin}-family classes, verified char-equivalent to
+    Java's \\p{IsLatin} family."""
+    from webscraper_spark.functions.text import script_profile
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    m = F.col("doc_id") % 4
+    tx = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("北京大学"), 40)))
+        .when(m == 2, F.repeat(F.lit("汉字文本"), 30))
+        .otherwise(F.concat(F.col("text"), F.lit(" мир мир سلام")))
+    )
+    p = script_profile(tx)
+    return d.select("doc_id", *[c.alias(n) for n, c in p.items()])
+
+
+_SQL_SCRIPT_DETECT = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text
+         WHEN doc_id % 4 = 1 THEN text || ' ' || repeat('北京大学', 40)
+         WHEN doc_id % 4 = 2 THEN repeat('汉字文本', 30)
+         ELSE text || ' мир мир سلام' END AS tx
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    length(regexp_replace(tx, '[^\p{Latin}]', '', 'g'))::BIGINT AS n_latin,
+    length(regexp_replace(tx, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS n_cyrillic,
+    length(regexp_replace(tx, '[^\p{Han}]', '', 'g'))::BIGINT AS n_han,
+    length(regexp_replace(tx, '[^\p{Arabic}]', '', 'g'))::BIGINT AS n_arabic
+  FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+  CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0 THEN 'none'
+       WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+       WHEN n_han >= n_arabic THEN 'han'
+       ELSE 'arabic' END AS dominant_script,
+  (n_latin + n_cyrillic + n_han + n_arabic > 0
+   AND greatest(n_latin, n_cyrillic, n_han, n_arabic) * 10
+       < (n_latin + n_cyrillic + n_han + n_arabic) * 9) AS is_mixed
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3877,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,
         "host_spam": _q_host_spam,
         "lang_pivot": _q_lang_pivot,
+        "script_detect": _q_script_detect,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -3964,5 +4019,6 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _SQL_URL_TEMPLATES,
         "host_spam": _sql_host_spam(),
         "lang_pivot": _sql_lang_pivot(),
+        "script_detect": _SQL_SCRIPT_DETECT,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

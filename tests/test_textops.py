@@ -670,3 +670,38 @@ def test_semantic_dedup_drops_planted_copies_keeps_originals(spark):
         assert by_id[100000 + i].max_cos >= 0.99
         assert by_id[i].keep is True
     assert len(dropped) == 5  # raw corpus max pairwise cos ~0.5 < threshold
+
+
+# --- Unicode script composition (functions/text.py, SURVEY 2.10 L44) ---
+
+def test_script_profile_counts_and_dominant(spark):
+    from webscraper_spark.functions.text import script_profile
+
+    rows = [
+        (0, "hello world"),                      # pure latin
+        (1, "Привет мир"),                       # pure cyrillic
+        (2, "北京大学"),                          # pure han
+        (3, "hello мир"),                        # latin 5 vs cyrillic 3 -> mixed
+        (4, "12345 ... !!!"),                    # no script chars at all
+        (5, "abc абв"),                          # 3 vs 3 tie -> latin (fixed order)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = script_profile(F.col("text"))
+    out = df.select("doc_id", *[c.alias(n) for n, c in p.items()])
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["dominant_script"] == "latin" and not got[0]["is_mixed"]
+    assert got[1]["dominant_script"] == "cyrillic" and got[1]["n_cyrillic"] == 9
+    assert got[2]["dominant_script"] == "han" and got[2]["n_han"] == 4
+    assert got[3]["dominant_script"] == "latin" and got[3]["is_mixed"]
+    assert got[4]["dominant_script"] == "none" and not got[4]["is_mixed"]
+    assert got[5]["dominant_script"] == "latin"  # deterministic tie-break
+
+
+def test_script_profile_mixed_threshold_boundary(spark):
+    from webscraper_spark.functions.text import script_profile
+
+    # 9 latin + 1 cyrillic = exactly 90% -> NOT mixed (strict <)
+    df = spark.createDataFrame([("abcdefghiя",), ("abcdefghяя",)], "text string")
+    p = script_profile(F.col("text"))
+    got = [r["is_mixed"] for r in df.select(p["is_mixed"].alias("is_mixed")).collect()]
+    assert got == [False, True]  # 90% exact stays pure; 80% flags mixed

@@ -201,3 +201,61 @@ def doc_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
 def fingerprint64(text: Column, n: int = 3, k: int = 8) -> Column:
     """Single 64-bit rollup of the fingerprint (joinable key)."""
     return h60(F.concat_ws(",", F.transform(doc_fingerprint(text, n, k), lambda h: h.cast("string"))))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script composition (writing-system detection)
+# ---------------------------------------------------------------------------
+
+# Script name -> Java regex script class (Spark side). The DuckDB oracle
+# uses RE2's \p{Latin} etc. — verified char-for-char equivalent for these
+# four on BMP text. Digits/punct/whitespace are Unicode "Common" script
+# and count toward none of them.
+SCRIPT_CLASSES = {
+    "latin": "IsLatin",
+    "cyrillic": "IsCyrillic",
+    "han": "IsHan",
+    "arabic": "IsArabic",
+}
+
+
+def script_count(text: Column, script: str) -> Column:
+    """Number of codepoints of `script` in text (codegen: strip the
+    complement class, count what remains — length() is codepoints in
+    both Spark and DuckDB)."""
+    cls = SCRIPT_CLASSES[script]
+    return F.length(F.regexp_replace(text, rf"[^\p{{{cls}}}]", "")).cast("long")
+
+
+def script_profile(text: Column, mixed_num: int = 9, mixed_den: int = 10):
+    """Writing-system composition columns for a document.
+
+    Returns a dict of named Columns: per-script codepoint counts, the
+    dominant script (fixed tie-break order latin > cyrillic > han >
+    arabic — deterministic in any engine), and an is_mixed flag set when
+    the dominant script holds less than mixed_num/mixed_den (default
+    90%) of all script-classified codepoints — integer
+    cross-multiplication, no floats. Script detection is the standard
+    pre-langid routing step in web-corpus pipelines (fastText & CLD3
+    both condition on script): langid() (L11) assumes a space-tokenized
+    alphabet and is meaningless on Han text, so the corpus router keys
+    on dominant_script first.
+    """
+    counts = {s: script_count(text, s) for s in SCRIPT_CLASSES}
+    lat, cyr, han, ara = counts["latin"], counts["cyrillic"], counts["han"], counts["arabic"]
+    total = lat + cyr + han + ara
+    dominant = (
+        F.when((lat >= cyr) & (lat >= han) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= han) & (cyr >= ara), F.lit("cyrillic"))
+        .when(han >= ara, F.lit("han"))
+        .otherwise(F.lit("arabic"))
+    )
+    top = F.greatest(lat, cyr, han, ara)
+    return {
+        "n_latin": lat,
+        "n_cyrillic": cyr,
+        "n_han": han,
+        "n_arabic": ara,
+        "dominant_script": F.when(total == 0, F.lit("none")).otherwise(dominant),
+        "is_mixed": (total > 0) & (top * mixed_den < total * mixed_num),
+    }
