@@ -3848,6 +3848,82 @@ FROM c
 """
 
 
+def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical collapse (L45 in SURVEY §2.10): 6-page blocks per
+    host — a canonical target with explicit self-link, two query-string
+    variants, an attribute-order-flipped variant, an unannotated page
+    (self-canonical per RFC 6596), and a cross-host mirror pointing at
+    a central host — collapsed to (canonical, members, representative,
+    cross-host count) clusters (operators/canonical.py, two codegen
+    regexes + one map-side-combinable agg)."""
+    from webscraper_spark.operators.canonical import canonical_clusters
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    b = (i - m).cast("string")
+    host = F.concat(F.lit("h"), (F.expr("doc_id div 6") % 8).cast("string"), F.lit(".ex.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p/"), b)
+    url = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(base, F.lit("?ref=a")))
+        .when(m == 2, F.concat(base, F.lit("?utm=b")))
+        .when(m == 3, F.concat(F.lit("https://"), host, F.lit("/q/"), i.cast("string")))
+        .when(m == 4, F.concat(base, F.lit("?s=c")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/m/"), i.cast("string")))
+    )
+    html = (
+        F.when(m == 0, F.concat(F.lit('<html><link rel="canonical" href="'), base, F.lit('"><body>x</body>')))
+        .when(m.isin(1, 2), F.concat(F.lit('<link rel="canonical" href="'), base, F.lit('">')))
+        .when(m == 3, F.lit("<html><body>no canon</body></html>"))
+        .when(m == 4, F.concat(F.lit('<link href="'), base, F.lit('" rel="canonical"/>')))
+        .otherwise(F.concat(F.lit('<link rel="canonical" href="https://central.ex.com/p/'), b, F.lit('">')))
+    )
+    return canonical_clusters(d.select(url.alias("url"), html.alias("html")))
+
+
+_SQL_CANONICAL_COLLAPSE = r"""
+WITH p AS (
+  SELECT doc_id, doc_id % 6 AS m, (doc_id - doc_id % 6)::VARCHAR AS b,
+         'h' || ((doc_id // 6) % 8)::VARCHAR || '.ex.com' AS host
+  FROM documents
+),
+u AS (
+  SELECT doc_id, m, host,
+    'https://' || host || '/p/' || b AS base,
+    CASE m WHEN 0 THEN 'https://' || host || '/p/' || b
+           WHEN 1 THEN 'https://' || host || '/p/' || b || '?ref=a'
+           WHEN 2 THEN 'https://' || host || '/p/' || b || '?utm=b'
+           WHEN 3 THEN 'https://' || host || '/q/' || doc_id::VARCHAR
+           WHEN 4 THEN 'https://' || host || '/p/' || b || '?s=c'
+           ELSE 'https://' || host || '/m/' || doc_id::VARCHAR END AS url,
+    CASE m WHEN 0 THEN '<html><link rel="canonical" href="' || 'https://' || host || '/p/' || b || '"><body>x</body>'
+           WHEN 1 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
+           WHEN 2 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
+           WHEN 3 THEN '<html><body>no canon</body></html>'
+           WHEN 4 THEN '<link href="' || 'https://' || host || '/p/' || b || '" rel="canonical"/>'
+           ELSE '<link rel="canonical" href="https://central.ex.com/p/' || b || '">' END AS html
+  FROM p
+),
+c AS (
+  SELECT url,
+    CASE WHEN regexp_extract(
+               regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
+               'href="([^"]*)"', 1) = ''
+         THEN url
+         ELSE regexp_extract(
+               regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
+               'href="([^"]*)"', 1) END AS canonical
+  FROM u
+)
+SELECT canonical, count(*)::BIGINT AS n_members, min(url) AS representative,
+       sum(CASE WHEN regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
+                  <> regexp_extract(canonical, '^[a-z]+://([^/:?#]+)', 1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_cross_host
+FROM c GROUP BY canonical
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -3932,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_spam": _q_host_spam,
         "lang_pivot": _q_lang_pivot,
         "script_detect": _q_script_detect,
+        "canonical_collapse": _q_canonical_collapse,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4020,5 +4097,6 @@ def oracle_sql() -> dict[str, str]:
         "host_spam": _sql_host_spam(),
         "lang_pivot": _sql_lang_pivot(),
         "script_detect": _SQL_SCRIPT_DETECT,
+        "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

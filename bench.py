@@ -542,7 +542,7 @@ def main() -> None:
         "group_quantiles", "quality_threshold", "degree_cap", "text_normalize",
         "event_window_rates", "feed_parse", "json_props_extract",
         "redirect_resolve", "cms_heavy_hitters", "url_templates", "host_spam",
-        "lang_pivot", "script_detect",
+        "lang_pivot", "script_detect", "canonical_collapse",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

@@ -126,3 +126,30 @@ def test_extract_engines_agree_on_null_html(spark):
     a = norm(with_extraction(df)).collect()
     b = norm(with_extraction_arrow(df)).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+# --- rel=canonical collapse (operators/canonical.py, SURVEY 2.10 L45) ---
+
+def test_canonical_clusters_collapse_and_flags(spark):
+    from webscraper_spark.operators.canonical import canonical_clusters
+
+    rows = [
+        # canonical target with explicit self-link
+        ("https://a.ex/p/1", '<html><link rel="canonical" href="https://a.ex/p/1"><body>'),
+        # query-string variants pointing at it
+        ("https://a.ex/p/1?ref=x", '<link rel="canonical" href="https://a.ex/p/1">'),
+        ("https://a.ex/p/1?utm=y", '<link href="https://a.ex/p/1" rel="canonical"/>'),  # attr order flipped
+        # no annotation -> self-canonical
+        ("https://a.ex/p/2", "<html><body>plain</body></html>"),
+        # empty href -> self-canonical
+        ("https://a.ex/p/3", '<link rel="canonical" href="">'),
+        # cross-host canonical
+        ("https://b.ex/mirror/1", '<link rel="canonical" href="https://a.ex/p/1">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["canonical"]: (r["n_members"], r["representative"], r["n_cross_host"])
+           for r in canonical_clusters(df).collect()}
+    assert got["https://a.ex/p/1"] == (4, "https://a.ex/p/1", 1)  # 3 on-host + 1 mirror
+    assert got["https://a.ex/p/2"] == (1, "https://a.ex/p/2", 0)
+    assert got["https://a.ex/p/3"] == (1, "https://a.ex/p/3", 0)
+    assert len(got) == 3
