@@ -3924,6 +3924,117 @@ FROM c GROUP BY canonical
 """
 
 
+def _q_adaptive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive AIMD politeness backoff (L46/ST7 in SURVEY §2): events
+    mapped to (host, wave, status) fetch outcomes — hosts h0-h3 start
+    throttling at wave = host index (~42% 429/timeout mix, clearing the
+    10% threshold), h4-h7 stay clean apart from a ~2% timeout trickle
+    (under the threshold) — folded into per-host throttle streaks and
+    exponentially-shifted delays (operators/backoff.py: two map-side
+    aggregates + a codegen shift, no window, no UDF)."""
+    from webscraper_spark.operators.backoff import adaptive_backoff
+
+    d = spark.read.parquet(_t(sf_dir, "events"))
+    i = F.col("event_id").cast("long")
+    m, w = i % 8, F.expr("event_id div 8") % 4
+    thr_group = (m < 4) & (w >= m)
+    status = F.when(
+        thr_group,
+        F.when(i % 3 == 0, F.lit("429"))
+        .when(i % 7 == 0, F.lit("timeout"))
+        .otherwise(F.lit("ok")),
+    ).otherwise(F.when(i % 50 == 0, F.lit("timeout")).otherwise(F.lit("ok")))
+    outcomes = d.select(
+        F.concat(F.lit("h"), m.cast("string")).alias("host"),
+        w.alias("wave"),
+        status.alias("status"),
+    )
+    return adaptive_backoff(outcomes)
+
+
+_SQL_ADAPTIVE_BACKOFF = r"""
+WITH o AS (
+  SELECT 'h' || (event_id % 8)::VARCHAR AS host,
+         ((event_id // 8) % 4)::BIGINT AS wave,
+         CASE WHEN (event_id % 8) < 4 AND ((event_id // 8) % 4) >= (event_id % 8)
+              THEN CASE WHEN event_id % 3 = 0 THEN '429'
+                        WHEN event_id % 7 = 0 THEN 'timeout' ELSE 'ok' END
+              ELSE CASE WHEN event_id % 50 = 0 THEN 'timeout' ELSE 'ok' END
+         END AS status
+  FROM events
+),
+tw AS (
+  SELECT host, wave,
+         (sum(CASE WHEN status IN ('429', '503', 'timeout') THEN 1 ELSE 0 END) * 10
+            >= count(*) * 1) AS thr
+  FROM o GROUP BY host, wave
+),
+ph AS (
+  SELECT host, count(*)::BIGINT AS n_waves, max(wave) AS latest_wave,
+         min(wave) AS first_wave,
+         max(CASE WHEN NOT thr THEN wave END) AS last_clean
+  FROM tw GROUP BY host
+)
+SELECT host, n_waves, latest_wave,
+       (latest_wave - coalesce(last_clean, first_wave - 1))::INT AS throttle_streak,
+       (100 * (1 << least(latest_wave - coalesce(last_clean, first_wave - 1), 6)))::BIGINT
+         AS delay_ms
+FROM ph
+"""
+
+
+def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-charset sniffing (L47/S15 in SURVEY §2): HTML heads
+    planted with an XML declaration that must beat a conflicting meta
+    (WHATWG precedence), quoted/unquoted/uppercase meta charsets, an
+    http-equiv Content-Type, and silent pages defaulting to utf-8 —
+    folded into the per-host encoding report with the transcode-lane
+    flag (operators/charset.py, codegen regex chain)."""
+    from webscraper_spark.operators.charset import charset_report
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    host = F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".ex"))
+    html = (
+        F.when(m == 0, F.lit('<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'))
+        .when(m == 1, F.lit('<meta charset="windows-1252"><body>'))
+        .when(m == 2, F.lit("<META CHARSET='UTF-8'>"))
+        .when(m == 3, F.lit('<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'))
+        .when(m == 4, F.lit("<html><body>silent</body></html>"))
+        .otherwise(F.lit("<meta charset='koi8-r'>"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+    return charset_report(d.select(url.alias("url"), html.alias("html")))
+
+
+_SQL_CHARSET_SNIFF = r"""
+WITH p AS (
+  SELECT 'h' || (doc_id % 5)::VARCHAR || '.ex' AS host,
+    lower(CASE doc_id % 6
+      WHEN 0 THEN '<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'
+      WHEN 1 THEN '<meta charset="windows-1252"><body>'
+      WHEN 2 THEN '<META CHARSET=''UTF-8''>'
+      WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'
+      WHEN 4 THEN '<html><body>silent</body></html>'
+      ELSE '<meta charset=''koi8-r''>' END) AS low
+  FROM documents
+),
+c AS (
+  SELECT host,
+    coalesce(
+      nullif(regexp_extract(low, '<\?xml[^>]*encoding=["'']([a-z0-9_.:-]+)["'']', 1), ''),
+      nullif(regexp_extract(low, '<meta[^>]*\bcharset=["'']?([a-z0-9_.:-]+)', 1), ''),
+      nullif(regexp_extract(low, '<meta[^>]*http-equiv=["'']?content-type["'']?[^>]*charset=([a-z0-9_.:-]+)', 1), ''),
+      'utf-8') AS charset
+  FROM p
+)
+SELECT host, charset, count(*)::BIGINT AS n_pages,
+       charset NOT IN ('utf-8', 'us-ascii') AS needs_transcode
+FROM c GROUP BY host, charset
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4009,6 +4120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": _q_lang_pivot,
         "script_detect": _q_script_detect,
         "canonical_collapse": _q_canonical_collapse,
+        "adaptive_backoff": _q_adaptive_backoff,
+        "charset_sniff": _q_charset_sniff,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4098,5 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_pivot": _sql_lang_pivot(),
         "script_detect": _SQL_SCRIPT_DETECT,
         "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
+        "adaptive_backoff": _SQL_ADAPTIVE_BACKOFF,
+        "charset_sniff": _SQL_CHARSET_SNIFF,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

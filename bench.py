@@ -394,8 +394,19 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     per_rep = []
     deadline_hit = False
+    # Predictive deadline accounting: a rep costs ~10 min (two legs +
+    # warmups); stopping only at reps that START past the deadline lets
+    # one in-flight rep plus a tiebreak overshoot the driver's budget by
+    # 20+ minutes (observed: a tiebreak-extended default run hit 53 min).
+    # Track the last rep's wall and refuse to start a rep that PROJECTS
+    # past the deadline.
+    last_rep_wall = [0.0]
+
+    def _past_deadline() -> bool:
+        return deadline is not None and time.time() + last_rep_wall[0] > deadline
 
     def _one_rep(rep: int) -> None:
+        t_rep = time.time()
         extra_rec = pre_rep(rep) if pre_rep is not None else {}
         hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
         mem = {n: _membw_probe(n) for n in (n_lo, n_hi)}
@@ -420,13 +431,14 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         })
         if on_rep is not None:
             on_rep(per_rep)
+        last_rep_wall[0] = time.time() - t_rep
 
     for rep in range(reps):
         # Deadline guard (rep 0 always runs): a bad host window can double
         # every run's wall clock; dropping later reps keeps the DEFAULT
         # invocation inside the driver's execution budget with a complete
         # JSON (round 3 lost its whole artifact to rc=124).
-        if deadline is not None and rep > 0 and time.time() > deadline:
+        if rep > 0 and _past_deadline():
             deadline_hit = True
             print(f"[bench] deadline reached; stopping {n_lo}v{n_hi} study "
                   f"after {rep} rep(s)", file=sys.stderr)
@@ -434,7 +446,7 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         _one_rep(rep)
     tiebreak = (len(per_rep) == 2
                 and abs(per_rep[0]["pair_eff"] - per_rep[1]["pair_eff"]) > 0.25
-                and (deadline is None or time.time() < deadline))
+                and not _past_deadline())
     if tiebreak:
         print(f"[bench] {n_lo}v{n_hi} pair_effs disagree by "
               f"{abs(per_rep[0]['pair_eff'] - per_rep[1]['pair_eff']):.3f} "
@@ -543,6 +555,7 @@ def main() -> None:
         "event_window_rates", "feed_parse", "json_props_extract",
         "redirect_resolve", "cms_heavy_hitters", "url_templates", "host_spam",
         "lang_pivot", "script_detect", "canonical_collapse",
+        "adaptive_backoff", "charset_sniff",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

@@ -1,0 +1,91 @@
+"""Tests for adaptive AIMD backoff (operators/backoff.py, SURVEY 2.10
+L46/ST7) and declared-charset sniffing (operators/charset.py, L47/S15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _outcomes(spark, rows):
+    return spark.createDataFrame(rows, "host string, wave long, status string")
+
+
+def test_backoff_streaks_and_delays(spark):
+    from webscraper_spark.operators.backoff import adaptive_backoff
+
+    rows = (
+        # host A: wave 1 clean, waves 2-4 throttled -> streak 3 -> 100<<3
+        [("A", 1, "ok"), ("A", 2, "429"), ("A", 3, "503"), ("A", 4, "timeout")]
+        # host B: all clean -> streak 0 -> base
+        + [("B", w, "ok") for w in (1, 2, 3, 4)]
+        # host C: throttled then recovered (latest clean) -> streak 0
+        + [("C", 1, "429"), ("C", 2, "429"), ("C", 3, "ok")]
+        # host D: every wave throttled -> streak = n_waves
+        + [("D", 1, "429"), ("D", 2, "429")]
+    )
+    got = {
+        r["host"]: (r["throttle_streak"], r["delay_ms"])
+        for r in adaptive_backoff(_outcomes(spark, rows)).collect()
+    }
+    assert got["A"] == (3, 800)
+    assert got["B"] == (0, 100)
+    assert got["C"] == (0, 100)
+    assert got["D"] == (2, 400)
+
+
+def test_backoff_error_rate_threshold_and_cap(spark):
+    from webscraper_spark.operators.backoff import adaptive_backoff
+
+    # wave 1 on host E: 10 fetches, exactly 1 throttle = 10% -> throttled (>=)
+    # wave 1 on host F: 20 fetches, 1 throttle = 5% -> clean
+    rows = (
+        [("E", 1, "429")] + [("E", 1, "ok")] * 9
+        + [("F", 1, "timeout")] + [("F", 1, "ok")] * 19
+        # host G: 10 straight throttled waves -> shift capped at 6
+        + [("G", w, "503") for w in range(1, 11)]
+    )
+    got = {
+        r["host"]: (r["throttle_streak"], r["delay_ms"])
+        for r in adaptive_backoff(_outcomes(spark, rows)).collect()
+    }
+    assert got["E"] == (1, 200)
+    assert got["F"] == (0, 100)
+    assert got["G"] == (10, 100 << 6)  # streak reported raw, shift capped
+
+
+def test_declared_charset_precedence(spark):
+    from webscraper_spark.operators.charset import declared_charset
+
+    rows = [
+        (0, '<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'),
+        (1, '<meta charset="windows-1252"><body>'),
+        (2, "<META CHARSET='UTF-8'>"),
+        (3, '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'),
+        (4, "<html><body>silent</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {r["i"]: r["cs"] for r in df.select("i", declared_charset(F.col("html")).alias("cs")).collect()}
+    assert got[0] == "iso-8859-1"   # xml decl beats meta
+    assert got[1] == "windows-1252"
+    assert got[2] == "utf-8"        # case-insensitive
+    assert got[3] == "shift_jis"
+    assert got[4] == "utf-8"        # HTML5 default
+
+
+def test_charset_report_routing(spark):
+    from webscraper_spark.operators.charset import charset_report
+
+    rows = [
+        ("https://a.ex/1", '<meta charset="utf-8">'),
+        ("https://a.ex/2", '<meta charset="koi8-r">'),
+        ("https://a.ex/3", '<meta charset="koi8-r">'),
+        ("https://b.ex/1", "<html>silent</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r["host"], r["charset"]): (r["n_pages"], r["needs_transcode"])
+        for r in charset_report(df).collect()
+    }
+    assert got[("a.ex", "utf-8")] == (1, False)
+    assert got[("a.ex", "koi8-r")] == (2, True)
+    assert got[("b.ex", "utf-8")] == (1, False)
