@@ -47,14 +47,12 @@ Q_SCALE = 1 << 16
 
 def bigrams(text_col: Column) -> Column:
     """Adjacent-token bigram array ('a b', 'b c', ...); docs with <2
-    tokens get an empty array (score 0 by construction)."""
-    toks = tokens(text_col)
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)),
-        )
-    )
+    tokens get an empty array (score 0 by construction). zip_with
+    construction via dedup.ngram_join — the per-index element_at form
+    this replaced A/B-measured ~10x slower (see ngram_join)."""
+    from webscraper_spark.operators.dedup import ngram_join
+
+    return ngram_join(tokens(text_col), 2)
 
 
 def importance_weights(
