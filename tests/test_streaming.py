@@ -69,3 +69,41 @@ def test_stateful_politeness_across_microbatches(spark, tmp_path_factory):
     assert len(rows) == 8
     gaps = [b.sched_ms - a.sched_ms for a, b in zip(rows, rows[1:])]
     assert all(g >= 1000 for g in gaps), gaps  # politeness invariant incl. across batches
+
+
+def test_stream_seen_dedup_across_microbatches(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark URL-seen: duplicates and canonical
+    variants of one URL collapse to a single emission even when they
+    arrive in different micro-batches (files)."""
+    import datetime as dt
+
+    from webscraper_spark.streaming.stream import stream_seen_dedup
+
+    d = str(tmp_path_factory.mktemp("seen_stream"))
+    t0 = dt.datetime(2020, 9, 1, 12, 0, 0)
+    batch1 = [
+        ("https://a.ex/p?b=2&a=1", t0),
+        ("https://a.ex/q", t0),
+    ]
+    # batch 2: same page as canonical variant (sorted params, fragment,
+    # default port) + a true new URL
+    batch2 = [
+        ("https://A.EX:443/p?a=1&b=2#frag", t0 + dt.timedelta(minutes=1)),
+        ("https://a.ex/r", t0 + dt.timedelta(minutes=1)),
+    ]
+    schema = "url string, warc_ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    src = spark.readStream.schema(schema).parquet(d)
+    out = stream_seen_dedup(src, within="1 hour")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("seen_dedup").option("maxFilesPerTrigger", 1).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    urls = sorted(r["url"] for r in spark.sql("SELECT url FROM seen_dedup").collect())
+    # 4 input rows -> 3 distinct canonical urls; the /p variant deduped
+    assert len(urls) == 3
+    assert sum("/p" in u for u in urls) == 1

@@ -96,3 +96,32 @@ def run_agg_stream_to_memory(df: DataFrame, name: str) -> None:
     q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
+
+
+def stream_seen_dedup(
+    candidates: DataFrame, within: str = "1 hour", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Streaming URL-seen filter: first sighting of each canonical URL
+    hash passes, duplicates within the watermark horizon are dropped.
+
+    The batch engine's seen-set is a bucketed anti-join against an
+    accumulated table (operators/seen.py); the streaming form is
+    `dropDuplicatesWithinWatermark` on the canonical url hash — state
+    stays bounded because the watermark ages out keys (an unbounded
+    `dropDuplicates` would hold every URL ever seen in the state store;
+    at 10^10 URLs that is the difference between a working stream and
+    an OOM). Candidates need (url, warc_ts); the canonical hash is
+    computed with the SAME canonicalize+h60 path as the batch seen-set,
+    so a URL dedups identically whichever engine sees it first.
+
+    Late arrivals past the horizon CAN re-emit a url (the documented
+    watermark trade-off; the downstream Iceberg MERGE is idempotent on
+    url_hash, which is the standard exactly-once pattern).
+    """
+    from webscraper_spark.functions.canon import canonicalize_url
+    from webscraper_spark.operators.dedup import h60
+
+    keyed = candidates.withColumn(
+        "url_hash", h60(canonicalize_url(F.col("url")))
+    )
+    return keyed.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(["url_hash"])
