@@ -4031,6 +4031,61 @@ FROM c GROUP BY host, charset
 """
 
 
+def _q_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (J5 in SURVEY §2.3): the
+    declared URL set (sitemap, 2/3 of pages) full-outer-joined with the
+    discovered set (crawl order, 3/4 of pages) on url, classified into
+    both / gap (declared but never crawled — scheduling debt) / orphan
+    (crawled but undeclared — discovered via links only), rolled up per
+    host. The operational report every large crawl runs after each wave;
+    composition of the bucketed url equi-join (J1) machinery."""
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("h"), (i % 6).cast("string"), F.lit(".ex"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+    sm = d.filter(i % 3 != 2).select(url.alias("url"), host.alias("h_sm"))
+    cr = d.filter(i % 4 != 3).select(url.alias("url"), host.alias("h_cr"))
+    j = sm.join(cr, "url", "full_outer").select(
+        F.coalesce("h_sm", "h_cr").alias("host"),
+        F.col("h_sm").isNotNull().alias("in_sitemap"),
+        F.col("h_cr").isNotNull().alias("in_crawl"),
+    )
+    both = (F.col("in_sitemap") & F.col("in_crawl")).cast("long")
+    gap = (F.col("in_sitemap") & ~F.col("in_crawl")).cast("long")
+    orphan = (~F.col("in_sitemap") & F.col("in_crawl")).cast("long")
+    return j.groupBy("host").agg(
+        F.sum(F.col("in_sitemap").cast("long")).alias("n_sitemap"),
+        F.sum(F.col("in_crawl").cast("long")).alias("n_crawled"),
+        F.sum(both).alias("n_both"),
+        F.sum(gap).alias("n_gap"),
+        F.sum(orphan).alias("n_orphan"),
+    )
+
+
+_SQL_COVERAGE_AUDIT = """
+WITH u AS (
+  SELECT doc_id, 'h' || (doc_id % 6)::VARCHAR || '.ex' AS host,
+         'https://h' || (doc_id % 6)::VARCHAR || '.ex/p/' || doc_id::VARCHAR AS url
+  FROM documents
+),
+sm AS (SELECT url, host FROM u WHERE doc_id % 3 <> 2),
+cr AS (SELECT url, host FROM u WHERE doc_id % 4 <> 3),
+j AS (
+  SELECT coalesce(sm.host, cr.host) AS host,
+         sm.url IS NOT NULL AS in_sitemap,
+         cr.url IS NOT NULL AS in_crawl
+  FROM sm FULL OUTER JOIN cr USING (url)
+)
+SELECT host,
+       sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END)::BIGINT AS n_sitemap,
+       sum(CASE WHEN in_crawl THEN 1 ELSE 0 END)::BIGINT AS n_crawled,
+       sum(CASE WHEN in_sitemap AND in_crawl THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       sum(CASE WHEN in_sitemap AND NOT in_crawl THEN 1 ELSE 0 END)::BIGINT AS n_gap,
+       sum(CASE WHEN NOT in_sitemap AND in_crawl THEN 1 ELSE 0 END)::BIGINT AS n_orphan
+FROM j GROUP BY host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4118,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": _q_canonical_collapse,
         "adaptive_backoff": _q_adaptive_backoff,
         "charset_sniff": _q_charset_sniff,
+        "coverage_audit": _q_coverage_audit,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4209,5 +4265,6 @@ def oracle_sql() -> dict[str, str]:
         "canonical_collapse": _SQL_CANONICAL_COLLAPSE,
         "adaptive_backoff": _SQL_ADAPTIVE_BACKOFF,
         "charset_sniff": _SQL_CHARSET_SNIFF,
+        "coverage_audit": _SQL_COVERAGE_AUDIT,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }
