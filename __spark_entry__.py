@@ -4086,6 +4086,43 @@ FROM j GROUP BY host
 """
 
 
+def _q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (L48 in SURVEY
+    §2.10): documents split into 48-token windows advancing 32 tokens
+    (16-token overlap) — the step between the cleaned corpus and
+    sequence packing (operators/chunk.py; tokenize once, integer-ceil
+    chunk count, explode + slice). Oracle replays with DuckDB list
+    slicing."""
+    from webscraper_spark.operators.chunk import chunk_documents
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return chunk_documents(d, max_tokens=48, stride=32)
+
+
+_SQL_DOC_CHUNKING = r"""
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         ((greatest(len(toks) - 48, 0) + 31) // 32 + 1)::BIGINT AS n_chunks
+  FROM toked WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, (k - 1)::BIGINT AS chunk_id, ((k - 1) * 32)::BIGINT AS start_tok,
+         toks[(k - 1) * 32 + 1 : (k - 1) * 32 + 48] AS piece
+  FROM sized, unnest(generate_series(1, n_chunks)) AS t(k)
+)
+SELECT doc_id, chunk_id, start_tok,
+       len(piece)::BIGINT AS n_chunk_toks,
+       array_to_string(piece, ' ') AS chunk_text
+FROM chunks
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4174,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_backoff": _q_adaptive_backoff,
         "charset_sniff": _q_charset_sniff,
         "coverage_audit": _q_coverage_audit,
+        "doc_chunking": _q_doc_chunking,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4266,5 +4304,6 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_backoff": _SQL_ADAPTIVE_BACKOFF,
         "charset_sniff": _SQL_CHARSET_SNIFF,
         "coverage_audit": _SQL_COVERAGE_AUDIT,
+        "doc_chunking": _SQL_DOC_CHUNKING,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

@@ -555,7 +555,7 @@ def main() -> None:
         "event_window_rates", "feed_parse", "json_props_extract",
         "redirect_resolve", "cms_heavy_hitters", "url_templates", "host_spam",
         "lang_pivot", "script_detect", "canonical_collapse",
-        "adaptive_backoff", "charset_sniff", "coverage_audit",
+        "adaptive_backoff", "charset_sniff", "coverage_audit", "doc_chunking",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

@@ -705,3 +705,41 @@ def test_script_profile_mixed_threshold_boundary(spark):
     p = script_profile(F.col("text"))
     got = [r["is_mixed"] for r in df.select(p["is_mixed"].alias("is_mixed")).collect()]
     assert got == [False, True]  # 90% exact stays pure; 80% flags mixed
+
+
+# --- document chunking (operators/chunk.py, SURVEY 2.10 L48) ---
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from webscraper_spark.operators.chunk import chunk_documents
+
+    text_120 = " ".join(f"t{i}" for i in range(120))
+    rows = [(0, text_120), (1, "a b c"), (2, ""), (3, " ".join(f"x{i}" for i in range(64)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 120 tokens -> ceil((120-64)/48)+1 = 3 chunks at 0/48/96
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_chunk_toks"]) for r in c0] == [(0, 64), (48, 64), (96, 24)]
+    assert c0[1]["chunk_text"].split()[0] == "t48"     # overlap: 48..111
+    assert c0[0]["chunk_text"].split()[-1] == "t63"
+    # every token of doc 0 covered
+    covered = set()
+    for r in c0:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(120)}
+    assert [(r["start_tok"], r["n_chunk_toks"]) for r in by_doc[1]] == [(0, 3)]
+    assert 2 not in by_doc                              # empty doc -> no chunks
+    assert [(r["start_tok"], r["n_chunk_toks"]) for r in by_doc[3]] == [(0, 64)]
+
+
+def test_chunk_documents_partitioning_invariant(spark):
+    from webscraper_spark.operators.chunk import chunk_documents
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(i % 90))) for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(11)
+    ka = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in chunk_documents(a, max_tokens=32, stride=16).collect()}
+    kb = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in chunk_documents(b, max_tokens=32, stride=16).collect()}
+    assert ka == kb
