@@ -128,3 +128,34 @@ def test_cms_sketch_partial_aggregates(spark):
     plan = _plan(cms_topk(df, F.col("item"), d=4, w=64, k=5))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan       # d*w sketch broadcast into point query
+
+
+def test_chunking_is_codegen_no_shuffle(spark):
+    from webscraper_spark.operators.chunk import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(80))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(chunk_documents(df, max_tokens=32, stride=16))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan            # pure per-row explode, no shuffle
+
+
+def test_charset_and_backoff_are_codegen(spark):
+    from webscraper_spark.operators.backoff import adaptive_backoff
+    from webscraper_spark.operators.charset import charset_report
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i%3}.ex/{i}", '<meta charset="utf-8">') for i in range(12)],
+        "url string, html string",
+    )
+    p1 = _plan(charset_report(pages))
+    assert "EvalPython" not in p1 and p1.count("Exchange") == 1
+
+    oc = spark.createDataFrame(
+        [(f"h{i%3}", i % 4, "ok") for i in range(24)], "host string, wave long, status string"
+    )
+    p2 = _plan(adaptive_backoff(oc))
+    assert "EvalPython" not in p2
+    assert p2.count("Exchange") == 2         # per-(host,wave) agg, then per-host
