@@ -4123,6 +4123,64 @@ FROM chunks
 """
 
 
+def _q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain grouping (L49 in SURVEY §2.10): hostnames with
+    subdomain fan-out over .com / .de / two-level suffixes (.co.uk,
+    .com.au) collapsed to their registrable domain
+    (functions/canon.py registered_domain — PSL-style suffix+1, pure
+    codegen) and rolled up to (domain, n_urls, n_hosts): the key
+    politeness and budgets must use, or per-subdomain budgets hammer
+    the one origin behind s1..sN.example.com."""
+    from webscraper_spark.functions.canon import registered_domain
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m, k = i % 5, (i % 30).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("s"), i.cast("string"), F.lit(".d"), k, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("a.b.d"), k, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("d"), k, F.lit(".de")))
+        .when(m == 3, F.concat(F.lit("s1.news.d"), k, F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("d"), k, F.lit(".com")))
+    )
+    t = d.select(host.alias("host"), registered_domain(host).alias("domain"))
+    return t.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def _sql_registered_domain() -> str:
+    sufs = ", ".join(f"'{s}'" for s in (
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+        "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+        "co.nz", "co.za",
+    ))
+    return rf"""
+WITH h AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 's' || doc_id::VARCHAR || '.d' || (doc_id % 30)::VARCHAR || '.co.uk'
+    WHEN 1 THEN 'a.b.d' || (doc_id % 30)::VARCHAR || '.com'
+    WHEN 2 THEN 'd' || (doc_id % 30)::VARCHAR || '.de'
+    WHEN 3 THEN 's1.news.d' || (doc_id % 30)::VARCHAR || '.com.au'
+    ELSE 'd' || (doc_id % 30)::VARCHAR || '.com' END AS host
+  FROM documents
+),
+r AS (
+  SELECT host,
+    CASE WHEN lower(regexp_extract(host, '([^.]+\.[^.]+)$', 1)) IN ({sufs})
+              AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+         WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM h
+)
+SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT host)::BIGINT AS n_hosts
+FROM r GROUP BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4212,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": _q_charset_sniff,
         "coverage_audit": _q_coverage_audit,
         "doc_chunking": _q_doc_chunking,
+        "registered_domain": _q_registered_domain,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4305,5 +4364,6 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff": _SQL_CHARSET_SNIFF,
         "coverage_audit": _SQL_COVERAGE_AUDIT,
         "doc_chunking": _SQL_DOC_CHUNKING,
+        "registered_domain": _sql_registered_domain(),
         "crawl_wave_e2e": _sql_crawl_wave(),
     }
