@@ -4181,6 +4181,90 @@ FROM r GROUP BY domain
 """
 
 
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang edition clustering + reciprocity validation (L50 in
+    SURVEY §2.10): 4-page blocks — en/de/fr editions each declaring the
+    full trio (reciprocal, spec-required self-edge included) plus a
+    rogue page claiming the en edition one-way (the classic hreflang
+    deploy bug / hijack shape) — validated per declaring URL
+    (operators/hreflang.py: regexp_extract_all tag harvest, swapped-key
+    self-join for back-edges)."""
+    from webscraper_spark.operators.hreflang import hreflang_clusters
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    b, m = F.expr("doc_id div 4"), i % 4
+    site = F.concat(F.lit("https://s"), (b % 7).cast("string"), F.lit(".ex/"))
+    ed = {lg: F.concat(site, F.lit(lg + "/p"), b.cast("string")) for lg in ("en", "de", "fr")}
+    trio = F.concat(
+        *[
+            F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{lg}" href="'), ed[lg], F.lit('"/>')
+            )
+            for lg in ("en", "de", "fr")
+        ]
+    )
+    rogue_html = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), ed["en"], F.lit('"/>')
+    )
+    url = (
+        F.when(m == 0, ed["en"])
+        .when(m == 1, ed["de"])
+        .when(m == 2, ed["fr"])
+        .otherwise(F.concat(F.lit("https://rogue.ex/p"), b.cast("string")))
+    )
+    html = F.when(m <= 2, trio).otherwise(rogue_html)
+    return hreflang_clusters(d.select(url.alias("url"), html.alias("html")))
+
+
+_SQL_HREFLANG = r"""
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS m, doc_id // 4 AS b,
+         'https://s' || ((doc_id // 4) % 7)::VARCHAR || '.ex/' AS site
+  FROM documents
+),
+u AS (
+  SELECT doc_id, m,
+    site || 'en/p' || b::VARCHAR AS en_u,
+    site || 'de/p' || b::VARCHAR AS de_u,
+    site || 'fr/p' || b::VARCHAR AS fr_u,
+    'https://rogue.ex/p' || b::VARCHAR AS rogue_u
+  FROM p
+),
+pages AS (
+  SELECT CASE m WHEN 0 THEN en_u WHEN 1 THEN de_u WHEN 2 THEN fr_u ELSE rogue_u END AS url,
+    CASE WHEN m <= 2 THEN
+      '<link rel="alternate" hreflang="en" href="' || en_u || '"/>'
+      || '<link rel="alternate" hreflang="de" href="' || de_u || '"/>'
+      || '<link rel="alternate" hreflang="fr" href="' || fr_u || '"/>'
+    ELSE '<link rel="alternate" hreflang="en" href="' || en_u || '"/>' END AS html
+  FROM u
+),
+tags AS (
+  SELECT url, unnest(regexp_extract_all(html,
+    '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 0)) AS tag
+  FROM pages
+),
+e AS (
+  SELECT DISTINCT url,
+    lower(regexp_extract(tag, '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 1)) AS lang,
+    regexp_extract(tag, '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 2) AS alt_url
+  FROM tags
+),
+back AS (SELECT DISTINCT alt_url AS url, url AS alt_url FROM e),
+recip AS (SELECT DISTINCT e.url, e.alt_url FROM e JOIN back USING (url, alt_url)),
+agg AS (
+  SELECT url, count(*)::BIGINT AS n_alternates, count(DISTINCT lang)::BIGINT AS n_langs
+  FROM e GROUP BY url
+),
+rc AS (SELECT url, count(*)::BIGINT AS n_reciprocal FROM recip GROUP BY url)
+SELECT a.url, a.n_alternates, a.n_langs,
+       coalesce(rc.n_reciprocal, 0)::BIGINT AS n_reciprocal,
+       coalesce(rc.n_reciprocal, 0) = a.n_alternates AS all_reciprocal
+FROM agg a LEFT JOIN rc ON a.url = rc.url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4271,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_audit": _q_coverage_audit,
         "doc_chunking": _q_doc_chunking,
         "registered_domain": _q_registered_domain,
+        "hreflang_clusters": _q_hreflang_clusters,
         "crawl_wave_e2e": _q_crawl_wave,
     }
 
@@ -4365,5 +4450,6 @@ def oracle_sql() -> dict[str, str]:
         "coverage_audit": _SQL_COVERAGE_AUDIT,
         "doc_chunking": _SQL_DOC_CHUNKING,
         "registered_domain": _sql_registered_domain(),
+        "hreflang_clusters": _SQL_HREFLANG,
         "crawl_wave_e2e": _sql_crawl_wave(),
     }

@@ -556,7 +556,7 @@ def main() -> None:
         "redirect_resolve", "cms_heavy_hitters", "url_templates", "host_spam",
         "lang_pivot", "script_detect", "canonical_collapse",
         "adaptive_backoff", "charset_sniff", "coverage_audit", "doc_chunking",
-        "registered_domain",
+        "registered_domain", "hreflang_clusters",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

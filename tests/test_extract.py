@@ -153,3 +153,35 @@ def test_canonical_clusters_collapse_and_flags(spark):
     assert got["https://a.ex/p/2"] == (1, "https://a.ex/p/2", 0)
     assert got["https://a.ex/p/3"] == (1, "https://a.ex/p/3", 0)
     assert len(got) == 3
+
+
+# --- hreflang clustering (operators/hreflang.py, SURVEY 2.10 L50) ---
+
+def _hl(lang, href):
+    return f'<link rel="alternate" hreflang="{lang}" href="{href}"/>'
+
+
+def test_hreflang_edges_and_reciprocity(spark):
+    from webscraper_spark.operators.hreflang import hreflang_clusters, hreflang_edges
+
+    en, de, fr = "https://a.ex/en/p", "https://a.ex/de/p", "https://a.ex/fr/p"
+    rows = [
+        # full reciprocal trio (each page lists all three, incl. itself)
+        (en, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
+        (de, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
+        (fr, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
+        # one-way annotation: claims the en page as alternate, no back-edge
+        ("https://rogue.ex/p", _hl("EN", en)),
+        # no annotations at all
+        ("https://a.ex/plain", "<html><body>x</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = hreflang_edges(df).collect()
+    assert {(r["url"], r["lang"], r["alt_url"]) for r in edges if r["url"] == "https://rogue.ex/p"} \
+        == {("https://rogue.ex/p", "en", en)}  # lang lowercased
+    got = {r["url"]: (r["n_alternates"], r["n_langs"], r["n_reciprocal"], r["all_reciprocal"])
+           for r in hreflang_clusters(df).collect()}
+    for u in (en, de, fr):
+        assert got[u] == (3, 3, 3, True)
+    assert got["https://rogue.ex/p"] == (1, 1, 0, False)  # one-way claim flagged
+    assert "https://a.ex/plain" not in got

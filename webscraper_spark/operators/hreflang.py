@@ -1,0 +1,78 @@
+r"""hreflang alternate-link clustering and reciprocity validation.
+
+Multilingual sites declare their language editions with
+`<link rel="alternate" hreflang="xx" href="...">`; crawl pipelines use
+the declared graph to (a) group editions of one logical page so corpus
+language mixing is deliberate rather than accidental duplication, and
+(b) validate RECIPROCITY — Google's own documentation makes
+bidirectional annotation the correctness condition (if A lists B as
+its 'de' edition, B must list A back; one-way annotations are the
+single most common hreflang deployment bug and a hijack vector, since
+anyone can claim any URL as their alternate).
+
+Two outputs:
+- `hreflang_edges`: (url, lang, alt_url) — one row per declared
+  alternate, extracted with a codegen regexp_extract_all over the raw
+  HTML (no parser).
+- `hreflang_clusters`: per declaring URL: edition count, distinct
+  languages, reciprocal count, and `all_reciprocal` — the deploy-bug
+  flag. Reciprocity is one swapped-key self-join on (url, alt_url),
+  the same shape as the link-farm check (graph.py host_spam_score).
+
+The x-default pseudo-language is kept as a normal entry ('x-default'
+is what the attribute literally says; routing treats it as the
+fallback edition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HREFLANG_TAG = r'<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>'
+
+
+def hreflang_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, lang, alt_url) per declared alternate. Attribute order is
+    fixed hreflang-then-href in this extractor (the dominant emitted
+    order; a production variant adds the swapped alternation the same
+    way canonical.py handles it) — self-referencing alternates are kept
+    (the spec REQUIRES a page to list itself among its alternates)."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(HREFLANG_TAG), 0)
+    t = pages.select(F.col(url_col).alias("url"), F.explode(tags).alias("tag"))
+    return t.select(
+        "url",
+        F.lower(F.regexp_extract("tag", HREFLANG_TAG, 1)).alias("lang"),
+        F.regexp_extract("tag", HREFLANG_TAG, 2).alias("alt_url"),
+    )
+
+
+def hreflang_clusters(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per declaring URL: (url, n_alternates, n_langs, n_reciprocal,
+    all_reciprocal). An alternate is reciprocal when the target page
+    declares ANY alternate pointing back (language-agnostic back-edge —
+    the practical validation; strict same-language back-edges are one
+    extra equality in the join condition). Self-edges count as
+    reciprocal by construction."""
+    e = hreflang_edges(pages, url_col, html_col).distinct()
+    back = e.select(F.col("alt_url").alias("url"), F.col("url").alias("alt_url")).distinct()
+    recip = e.join(back, ["url", "alt_url"]).select("url", "alt_url").distinct()
+    agg = e.groupBy("url").agg(
+        F.count("*").alias("n_alternates"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    rc = recip.groupBy("url").agg(F.count("*").alias("n_reciprocal"))
+    return (
+        agg.join(rc, "url", "left")
+        .select(
+            "url",
+            "n_alternates",
+            "n_langs",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            (F.coalesce("n_reciprocal", F.lit(0)) == F.col("n_alternates")).alias("all_reciprocal"),
+        )
+    )
