@@ -3709,11 +3709,16 @@ def _q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
     i = F.col("doc_id").cast("long")
+    # Organic out-links target a 5000-host space (srcs are only h0-h49):
+    # most organic edges CANNOT reciprocate, and the ones that can are
+    # rare at any driver/bench sf — with a 50-host target space the
+    # random graph saturated reciprocity at sf0.1 and flagged every
+    # organic host (code-review catch).
     org = d.select(
         F.concat(F.lit("h"), (i % 50).cast("string")).alias("src"),
         F.concat(
             F.lit("h"),
-            (h60(F.concat(F.lit("lnk:"), i.cast("string"))) % 50).cast("string"),
+            (h60(F.concat(F.lit("lnk:"), i.cast("string"))) % 5000).cast("string"),
         ).alias("dst"),
     )
     fa, fb = i % 5, F.expr("doc_id div 5") % 5
@@ -3729,7 +3734,7 @@ def _sql_host_spam(min_out: int = 4, recip_num: int = 3, recip_den: int = 4) -> 
     return f"""
 WITH raw AS (
   SELECT 'h' || (doc_id % 50)::VARCHAR AS src,
-         'h' || (({h}) % 50)::VARCHAR AS dst
+         'h' || (({h}) % 5000)::VARCHAR AS dst
   FROM documents
   UNION ALL
   SELECT 'f' || (doc_id % 5)::VARCHAR, 'f' || ((doc_id // 5) % 5)::VARCHAR
@@ -3872,7 +3877,8 @@ def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, F.concat(F.lit('<html><link rel="canonical" href="'), base, F.lit('"><body>x</body>')))
         .when(m.isin(1, 2), F.concat(F.lit('<link rel="canonical" href="'), base, F.lit('">')))
         .when(m == 3, F.lit("<html><body>no canon</body></html>"))
-        .when(m == 4, F.concat(F.lit('<link href="'), base, F.lit('" rel="canonical"/>')))
+        # attr-order flipped AND root-relative: must resolve against origin
+        .when(m == 4, F.concat(F.lit('<link href="/p/'), b, F.lit('" rel="canonical"/>')))
         .otherwise(F.concat(F.lit('<link rel="canonical" href="https://central.ex.com/p/'), b, F.lit('">')))
     )
     return canonical_clusters(d.select(url.alias("url"), html.alias("html")))
@@ -3897,20 +3903,23 @@ u AS (
            WHEN 1 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
            WHEN 2 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
            WHEN 3 THEN '<html><body>no canon</body></html>'
-           WHEN 4 THEN '<link href="' || 'https://' || host || '/p/' || b || '" rel="canonical"/>'
+           WHEN 4 THEN '<link href="/p/' || b || '" rel="canonical"/>'
            ELSE '<link rel="canonical" href="https://central.ex.com/p/' || b || '">' END AS html
   FROM p
 ),
+hrefed AS (
+  SELECT url,
+    regexp_extract(regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
+                   'href="([^"]*)"', 1) AS href
+  FROM u
+),
 c AS (
   SELECT url,
-    CASE WHEN regexp_extract(
-               regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
-               'href="([^"]*)"', 1) = ''
-         THEN url
-         ELSE regexp_extract(
-               regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
-               'href="([^"]*)"', 1) END AS canonical
-  FROM u
+    CASE WHEN regexp_matches(href, '^[a-z]+://') THEN href
+         WHEN href LIKE '/%'
+           THEN regexp_extract(url, '^([a-z]+://[^/?#]+)', 1) || href
+         ELSE url END AS canonical
+  FROM hrefed
 )
 SELECT canonical, count(*)::BIGINT AS n_members, min(url) AS representative,
        sum(CASE WHEN regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
@@ -4020,7 +4029,7 @@ c AS (
   SELECT host,
     coalesce(
       nullif(regexp_extract(low, '<\?xml[^>]*encoding=["'']([a-z0-9_.:-]+)["'']', 1), ''),
-      nullif(regexp_extract(low, '<meta[^>]*\bcharset=["'']?([a-z0-9_.:-]+)', 1), ''),
+      nullif(regexp_extract(low, '<meta\s+charset=["'']?([a-z0-9_.:-]+)', 1), ''),
       nullif(regexp_extract(low, '<meta[^>]*http-equiv=["'']?content-type["'']?[^>]*charset=([a-z0-9_.:-]+)', 1), ''),
       'utf-8') AS charset
   FROM p
@@ -4202,7 +4211,12 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f'<link rel="alternate" hreflang="{lg}" href="'), ed[lg], F.lit('"/>')
             )
             for lg in ("en", "de", "fr")
-        ]
+        ],
+        # standard x-default pattern: a second declaration of the en URL —
+        # must count as reciprocal, not false-flag the cluster
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'), ed["en"], F.lit('"/>')
+        ),
     )
     rogue_html = F.concat(
         F.lit('<link rel="alternate" hreflang="en" href="'), ed["en"], F.lit('"/>')
@@ -4237,6 +4251,7 @@ pages AS (
       '<link rel="alternate" hreflang="en" href="' || en_u || '"/>'
       || '<link rel="alternate" hreflang="de" href="' || de_u || '"/>'
       || '<link rel="alternate" hreflang="fr" href="' || fr_u || '"/>'
+      || '<link rel="alternate" hreflang="x-default" href="' || en_u || '"/>'
     ELSE '<link rel="alternate" hreflang="en" href="' || en_u || '"/>' END AS html
   FROM u
 ),
@@ -4252,7 +4267,10 @@ e AS (
   FROM tags
 ),
 back AS (SELECT DISTINCT alt_url AS url, url AS alt_url FROM e),
-recip AS (SELECT DISTINCT e.url, e.alt_url FROM e JOIN back USING (url, alt_url)),
+recip AS (
+  SELECT e.url, e.lang, e.alt_url FROM e
+  WHERE EXISTS (SELECT 1 FROM back b WHERE b.url = e.url AND b.alt_url = e.alt_url)
+),
 agg AS (
   SELECT url, count(*)::BIGINT AS n_alternates, count(DISTINCT lang)::BIGINT AS n_langs
   FROM e GROUP BY url

@@ -62,6 +62,9 @@ def test_declared_charset_precedence(spark):
         (2, "<META CHARSET='UTF-8'>"),
         (3, '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'),
         (4, "<html><body>silent</body></html>"),
+        # 'charset=' inside a content attribute must NOT sniff (false
+        # positive routed valid UTF-8 pages to the transcode lane)
+        (5, '<meta name="description" content="how to set charset=big5 in html">'),
     ]
     df = spark.createDataFrame(rows, "i long, html string")
     got = {r["i"]: r["cs"] for r in df.select("i", declared_charset(F.col("html")).alias("cs")).collect()}
@@ -70,6 +73,7 @@ def test_declared_charset_precedence(spark):
     assert got[2] == "utf-8"        # case-insensitive
     assert got[3] == "shift_jis"
     assert got[4] == "utf-8"        # HTML5 default
+    assert got[5] == "utf-8"        # mention inside content attr ignored
 
 
 def test_charset_report_routing(spark):

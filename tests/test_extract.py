@@ -138,13 +138,18 @@ def test_canonical_clusters_collapse_and_flags(spark):
         ("https://a.ex/p/1", '<html><link rel="canonical" href="https://a.ex/p/1"><body>'),
         # query-string variants pointing at it
         ("https://a.ex/p/1?ref=x", '<link rel="canonical" href="https://a.ex/p/1">'),
-        ("https://a.ex/p/1?utm=y", '<link href="https://a.ex/p/1" rel="canonical"/>'),  # attr order flipped
+        ("https://a.ex/p/1?utm=y", '<link href="/p/1" rel="canonical"/>'),  # attr order flipped, ROOT-RELATIVE
         # no annotation -> self-canonical
         ("https://a.ex/p/2", "<html><body>plain</body></html>"),
         # empty href -> self-canonical
         ("https://a.ex/p/3", '<link rel="canonical" href="">'),
         # cross-host canonical
         ("https://b.ex/mirror/1", '<link rel="canonical" href="https://a.ex/p/1">'),
+        # same relative href on a DIFFERENT host must NOT merge with a.ex's
+        # /p/1 cluster nor flag cross-host
+        ("https://c.ex/p/1", '<link rel="canonical" href="/p/1">'),
+        # dot-relative href: conservative self-canonical fallback
+        ("https://a.ex/p/4", '<link rel="canonical" href="../p/4">'),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     got = {r["canonical"]: (r["n_members"], r["representative"], r["n_cross_host"])
@@ -152,7 +157,9 @@ def test_canonical_clusters_collapse_and_flags(spark):
     assert got["https://a.ex/p/1"] == (4, "https://a.ex/p/1", 1)  # 3 on-host + 1 mirror
     assert got["https://a.ex/p/2"] == (1, "https://a.ex/p/2", 0)
     assert got["https://a.ex/p/3"] == (1, "https://a.ex/p/3", 0)
-    assert len(got) == 3
+    assert got["https://c.ex/p/1"] == (1, "https://c.ex/p/1", 0)  # resolved per-origin
+    assert got["https://a.ex/p/4"] == (1, "https://a.ex/p/4", 0)  # dot-relative -> self
+    assert len(got) == 5
 
 
 # --- hreflang clustering (operators/hreflang.py, SURVEY 2.10 L50) ---
@@ -166,8 +173,10 @@ def test_hreflang_edges_and_reciprocity(spark):
 
     en, de, fr = "https://a.ex/en/p", "https://a.ex/de/p", "https://a.ex/fr/p"
     rows = [
-        # full reciprocal trio (each page lists all three, incl. itself)
-        (en, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
+        # full reciprocal trio; en page also declares x-default -> en (the
+        # standard pattern: one URL under two hreflang values must stay
+        # all_reciprocal, not undercount)
+        (en, _hl("en", en) + _hl("de", de) + _hl("fr", fr) + _hl("x-default", en)),
         (de, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
         (fr, _hl("en", en) + _hl("de", de) + _hl("fr", fr)),
         # one-way annotation: claims the en page as alternate, no back-edge
@@ -181,7 +190,8 @@ def test_hreflang_edges_and_reciprocity(spark):
         == {("https://rogue.ex/p", "en", en)}  # lang lowercased
     got = {r["url"]: (r["n_alternates"], r["n_langs"], r["n_reciprocal"], r["all_reciprocal"])
            for r in hreflang_clusters(df).collect()}
-    for u in (en, de, fr):
+    assert got[en] == (4, 4, 4, True)  # x-default row reciprocal too
+    for u in (de, fr):
         assert got[u] == (3, 3, 3, True)
     assert got["https://rogue.ex/p"] == (1, 1, 0, False)  # one-way claim flagged
     assert "https://a.ex/plain" not in got

@@ -149,21 +149,14 @@ def repetition_stats(arr: Column) -> Column:
     )
 
 
-def word_bigrams(toks: Column) -> Column:
-    """Bigrams with multiplicity from a token array via one zip_with —
-    O(total tokens), no per-gram array allocation (0.5s vs 3.2s for the
-    per-index slice form exploding sf0.1 bigrams)."""
-    from webscraper_spark.operators.dedup import ngram_join
-
-    return ngram_join(toks, 2)
-
-
 def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition gate table: (id, n_toks, top_tok_frac,
     dup_tok_frac, top_bigram_frac). Tokenizes ONCE into a materialized
     column and derives token and bigram stats with one combined fold
     each — 10x faster than per-metric tokenize+sort+fold at sf0.1
     (10.0s -> 1.0s steady-state), bit-identical output."""
+    from webscraper_spark.operators.dedup import ngram_join as _ngram_join
+
     t = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     t2 = t.select(
@@ -171,7 +164,7 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
         F.size(toks).cast("long").alias("_n"),
         F.greatest(F.size(toks) - 1, F.lit(0)).cast("long").alias("_nb"),
         repetition_stats(toks).alias("_ts"),
-        repetition_stats(word_bigrams(toks)).alias("_bs"),
+        repetition_stats(_ngram_join(toks, 2)).alias("_bs"),
     )
     n, nb = F.col("_n"), F.col("_nb")
     return t2.select(

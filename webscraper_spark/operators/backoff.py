@@ -17,8 +17,9 @@ Pure integer arithmetic so any engine replays it bit-for-bit:
   (exponential, capped — the shift count comes from how many of the
   host's most recent waves were throttled, computed with a window-free
   conditional aggregate over the wave outcomes)
-- recovery: a clean latest wave halves the delay (>> 1) toward base,
-  never below base.
+- recovery: a clean latest wave resets the streak to 0, restoring
+  base_delay_ms immediately (multiplicative increase on congestion,
+  full restore on success — see the function docstring).
 
 One map-side-combinable aggregate per host over (host, wave, status)
 rows + a codegen CASE — no UDF, no join. The output feeds

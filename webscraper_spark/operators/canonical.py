@@ -36,10 +36,22 @@ _HOST = r"^[a-z]+://([^/:?#]+)"
 
 
 def canonical_of(url: Column, html: Column) -> Column:
-    """The page's canonical URL: declared href, else the URL itself."""
+    """The page's canonical URL: declared href, else the URL itself.
+
+    RFC 6596 allows relative hrefs; root-relative ones ('/index') are
+    resolved against the page's own origin — without this, pages on
+    DIFFERENT hosts declaring the same relative path would collapse
+    into one cluster keyed by the raw path and be flagged cross-host.
+    Non-absolute, non-root-relative hrefs (dot-relative, garbage) fall
+    back to self-canonical — the conservative read for a dedup key."""
     tag = F.regexp_extract(html, CANON_TAG, 0)
     href = F.regexp_extract(tag, HREF_IN_TAG, 1)
-    return F.when(href == "", url).otherwise(href)
+    origin = F.regexp_extract(url, r"^([a-z]+://[^/?#]+)", 1)
+    return (
+        F.when(href.rlike(r"^[a-z]+://"), href)
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(url)
+    )
 
 
 def canonical_clusters(

@@ -53,14 +53,18 @@ def hreflang_clusters(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Per declaring URL: (url, n_alternates, n_langs, n_reciprocal,
-    all_reciprocal). An alternate is reciprocal when the target page
-    declares ANY alternate pointing back (language-agnostic back-edge —
-    the practical validation; strict same-language back-edges are one
-    extra equality in the join condition). Self-edges count as
-    reciprocal by construction."""
+    all_reciprocal). A declared alternate (lang, alt_url) is reciprocal
+    when the target page declares ANY alternate pointing back
+    (language-agnostic back-edge — the practical validation; strict
+    same-language back-edges are one extra equality in the join
+    condition). Reciprocity is counted over the SAME (lang, alt_url)
+    rows n_alternates counts, so a URL declared under several hreflang
+    values (the standard en + x-default pattern) contributes one
+    reciprocal row per declaration and cannot false-flag
+    all_reciprocal. Self-edges count as reciprocal by construction."""
     e = hreflang_edges(pages, url_col, html_col).distinct()
     back = e.select(F.col("alt_url").alias("url"), F.col("url").alias("alt_url")).distinct()
-    recip = e.join(back, ["url", "alt_url"]).select("url", "alt_url").distinct()
+    recip = e.join(back, ["url", "alt_url"], "left_semi")  # keeps lang rows
     agg = e.groupBy("url").agg(
         F.count("*").alias("n_alternates"),
         F.countDistinct("lang").alias("n_langs"),

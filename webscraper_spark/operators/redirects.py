@@ -50,6 +50,13 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
     chain length <= max_hops) or 'cycle' (the chain exceeds max_hops
     edges — a loop or a pathologically long chain; final is the node
     2^ceil(log2(max_hops+1)) hops along, deterministic).
+
+    The returned DataFrame carries a `_redir_cache` persist handle (the
+    final doubling round stays MEMORY_AND_DISK so downstream actions
+    don't replay the cascade) — call `out._redir_cache.unpersist()`
+    when done, the repo-wide `*_cache` convention that bench's noop
+    writer and the tests release automatically. The handle lives only
+    on the returned object, not on DataFrames derived from it.
     """
     from pyspark import StorageLevel
 

@@ -97,6 +97,24 @@ def _hll_from_hash(hashed: DataFrame, p: int) -> DataFrame:
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 
+def _cms_cells(col: Column, d: int, w: int) -> Column:
+    """Exploded (row, bucket) cells for one item — the ONE definition of
+    the CMS cell hashing, shared by sketch build and point query (a
+    drifted copy would silently break sketch/query agreement and make
+    every estimate wrong)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("row"),
+                    (h60(F.concat(F.lit(f"cms{r}:"), col)) % w).alias("bucket"),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+
+
 def cms_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan, 2005) of the `col`
     stream: d hash rows x w buckets of exact BIGINT counters.
@@ -115,19 +133,7 @@ def cms_sketch(df: DataFrame, col: Column, d: int = 4, w: int = 1024) -> DataFra
     """
     if d < 1 or w < 2:
         raise ValueError("cms_sketch: need d >= 1, w >= 2")
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("row"),
-                        (h60(F.concat(F.lit(f"cms{r}:"), col)) % w).alias("bucket"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rb")
-    )
+    cells = df.select(_cms_cells(col, d, w).alias("rb"))
     return cells.groupBy(
         F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
@@ -156,18 +162,7 @@ def cms_topk(
     if candidates is None:
         candidates = df.select(col.alias("item")).distinct()
     cand_cells = candidates.select(
-        "item",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("row"),
-                        (h60(F.concat(F.lit(f"cms{r}:"), F.col("item"))) % w).alias("bucket"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rb"),
+        "item", _cms_cells(F.col("item"), d, w).alias("rb")
     ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     # Left join + coalesce(0): a candidate not in the stream (external
     # candidate list) has empty cells and must estimate 0, not vanish.
