@@ -3875,7 +3875,9 @@ def _q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     html = (
         F.when(m == 0, F.concat(F.lit('<html><link rel="canonical" href="'), base, F.lit('"><body>x</body>')))
-        .when(m.isin(1, 2), F.concat(F.lit('<link rel="canonical" href="'), base, F.lit('">')))
+        # single-quoted and UPPERCASE variants: same cluster as m=0
+        .when(m == 1, F.concat(F.lit("<link rel='canonical' href='"), base, F.lit("'>")))
+        .when(m == 2, F.concat(F.lit('<LINK REL="CANONICAL" HREF="'), base, F.lit('">')))
         .when(m == 3, F.lit("<html><body>no canon</body></html>"))
         # attr-order flipped AND root-relative: must resolve against origin
         .when(m == 4, F.concat(F.lit('<link href="/p/'), b, F.lit('" rel="canonical"/>')))
@@ -3900,8 +3902,8 @@ u AS (
            WHEN 4 THEN 'https://' || host || '/p/' || b || '?s=c'
            ELSE 'https://' || host || '/m/' || doc_id::VARCHAR END AS url,
     CASE m WHEN 0 THEN '<html><link rel="canonical" href="' || 'https://' || host || '/p/' || b || '"><body>x</body>'
-           WHEN 1 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
-           WHEN 2 THEN '<link rel="canonical" href="' || 'https://' || host || '/p/' || b || '">'
+           WHEN 1 THEN '<link rel=''canonical'' href=''' || 'https://' || host || '/p/' || b || '''>'
+           WHEN 2 THEN '<LINK REL="CANONICAL" HREF="' || 'https://' || host || '/p/' || b || '">'
            WHEN 3 THEN '<html><body>no canon</body></html>'
            WHEN 4 THEN '<link href="/p/' || b || '" rel="canonical"/>'
            ELSE '<link rel="canonical" href="https://central.ex.com/p/' || b || '">' END AS html
@@ -3909,8 +3911,8 @@ u AS (
 ),
 hrefed AS (
   SELECT url,
-    regexp_extract(regexp_extract(html, '<link\b[^>]*rel="canonical"[^>]*/?>'),
-                   'href="([^"]*)"', 1) AS href
+    regexp_extract(regexp_extract(html, '(?i)<link\b[^>]*\brel\s*=\s*["'']?canonical\b[^>]*/?>'),
+                   '(?i)\bhref\s*=\s*["'']([^"'']*)["'']', 1) AS href
   FROM u
 ),
 c AS (
@@ -3992,14 +3994,16 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-charset sniffing (L47/S15 in SURVEY §2): HTML heads
     planted with an XML declaration that must beat a conflicting meta
     (WHATWG precedence), quoted/unquoted/uppercase meta charsets, an
-    http-equiv Content-Type, and silent pages defaulting to utf-8 —
+    http-equiv Content-Type, silent pages defaulting to utf-8, a
+    charset at second attribute position (must sniff), and a
+    'charset=' inside a content="..." description (must NOT sniff) —
     folded into the per-host encoding report with the transcode-lane
     flag (operators/charset.py, codegen regex chain)."""
     from webscraper_spark.operators.charset import charset_report
 
     d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
     i = F.col("doc_id").cast("long")
-    m = i % 6
+    m = i % 8
     host = F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".ex"))
     html = (
         F.when(m == 0, F.lit('<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'))
@@ -4007,7 +4011,9 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit("<META CHARSET='UTF-8'>"))
         .when(m == 3, F.lit('<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'))
         .when(m == 4, F.lit("<html><body>silent</body></html>"))
-        .otherwise(F.lit("<meta charset='koi8-r'>"))
+        .when(m == 5, F.lit("<meta charset='koi8-r'>"))
+        .when(m == 6, F.lit('<meta id="enc" charset="big5">'))
+        .otherwise(F.lit('<meta name="description" content="all about charset=big5 pages">'))
     )
     url = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
     return charset_report(d.select(url.alias("url"), html.alias("html")))
@@ -4016,20 +4022,22 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CHARSET_SNIFF = r"""
 WITH p AS (
   SELECT 'h' || (doc_id % 5)::VARCHAR || '.ex' AS host,
-    lower(CASE doc_id % 6
+    lower(CASE doc_id % 8
       WHEN 0 THEN '<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'
       WHEN 1 THEN '<meta charset="windows-1252"><body>'
       WHEN 2 THEN '<META CHARSET=''UTF-8''>'
       WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'
       WHEN 4 THEN '<html><body>silent</body></html>'
-      ELSE '<meta charset=''koi8-r''>' END) AS low
+      WHEN 5 THEN '<meta charset=''koi8-r''>'
+      WHEN 6 THEN '<meta id="enc" charset="big5">'
+      ELSE '<meta name="description" content="all about charset=big5 pages">' END) AS low
   FROM documents
 ),
 c AS (
   SELECT host,
     coalesce(
       nullif(regexp_extract(low, '<\?xml[^>]*encoding=["'']([a-z0-9_.:-]+)["'']', 1), ''),
-      nullif(regexp_extract(low, '<meta\s+charset=["'']?([a-z0-9_.:-]+)', 1), ''),
+      nullif(regexp_extract(low, '<meta(?:[^>"'']|"[^"]*"|''[^'']*'')*?\scharset\s*=\s*["'']?([a-z0-9_.:-]+)', 1), ''),
       nullif(regexp_extract(low, '<meta[^>]*http-equiv=["'']?content-type["'']?[^>]*charset=([a-z0-9_.:-]+)', 1), ''),
       'utf-8') AS charset
   FROM p
@@ -4197,7 +4205,10 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rogue page claiming the en edition one-way (the classic hreflang
     deploy bug / hijack shape) — validated per declaring URL
     (operators/hreflang.py: regexp_extract_all tag harvest, swapped-key
-    self-join for back-edges)."""
+    self-join for back-edges). The three edition declarations exercise
+    the full matching contract: en is the plain double-quoted form, de
+    swaps attribute order (href before rel/hreflang) with single
+    quotes, fr is uppercase."""
     from webscraper_spark.operators.hreflang import hreflang_clusters
 
     d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
@@ -4206,12 +4217,15 @@ def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     site = F.concat(F.lit("https://s"), (b % 7).cast("string"), F.lit(".ex/"))
     ed = {lg: F.concat(site, F.lit(lg + "/p"), b.cast("string")) for lg in ("en", "de", "fr")}
     trio = F.concat(
-        *[
-            F.concat(
-                F.lit(f'<link rel="alternate" hreflang="{lg}" href="'), ed[lg], F.lit('"/>')
-            )
-            for lg in ("en", "de", "fr")
-        ],
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="en" href="'), ed["en"], F.lit('"/>')
+        ),
+        F.concat(
+            F.lit("<link href='"), ed["de"], F.lit("' rel='alternate' hreflang='de'>")
+        ),
+        F.concat(
+            F.lit('<LINK REL="ALTERNATE" HREFLANG="FR" HREF="'), ed["fr"], F.lit('"/>')
+        ),
         # standard x-default pattern: a second declaration of the en URL —
         # must count as reciprocal, not false-flag the cluster
         F.concat(
@@ -4249,22 +4263,25 @@ pages AS (
   SELECT CASE m WHEN 0 THEN en_u WHEN 1 THEN de_u WHEN 2 THEN fr_u ELSE rogue_u END AS url,
     CASE WHEN m <= 2 THEN
       '<link rel="alternate" hreflang="en" href="' || en_u || '"/>'
-      || '<link rel="alternate" hreflang="de" href="' || de_u || '"/>'
-      || '<link rel="alternate" hreflang="fr" href="' || fr_u || '"/>'
+      || '<link href=''' || de_u || ''' rel=''alternate'' hreflang=''de''>'
+      || '<LINK REL="ALTERNATE" HREFLANG="FR" HREF="' || fr_u || '"/>'
       || '<link rel="alternate" hreflang="x-default" href="' || en_u || '"/>'
     ELSE '<link rel="alternate" hreflang="en" href="' || en_u || '"/>' END AS html
   FROM u
 ),
 tags AS (
   SELECT url, unnest(regexp_extract_all(html,
-    '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 0)) AS tag
+    '(?i)<link\b[^>]*\brel\s*=\s*["'']?alternate\b[^>]*>', 0)) AS tag
   FROM pages
 ),
-e AS (
-  SELECT DISTINCT url,
-    lower(regexp_extract(tag, '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 1)) AS lang,
-    regexp_extract(tag, '<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>', 2) AS alt_url
+e0 AS (
+  SELECT url,
+    lower(regexp_extract(tag, '(?i)\bhreflang\s*=\s*["'']?([a-zA-Z0-9-]+)', 1)) AS lang,
+    regexp_extract(tag, '(?i)\bhref\s*=\s*["'']([^"'']*)["'']', 1) AS alt_url
   FROM tags
+),
+e AS (
+  SELECT DISTINCT url, lang, alt_url FROM e0 WHERE lang <> '' AND alt_url <> ''
 ),
 back AS (SELECT DISTINCT alt_url AS url, url AS alt_url FROM e),
 recip AS (

@@ -65,6 +65,13 @@ def test_declared_charset_precedence(spark):
         # 'charset=' inside a content attribute must NOT sniff (false
         # positive routed valid UTF-8 pages to the transcode lane)
         (5, '<meta name="description" content="how to set charset=big5 in html">'),
+        # charset at SECOND attribute position must still sniff (HTML5
+        # allows it anywhere in the tag; the quoted-value guard skips
+        # complete quoted strings but keeps attribute positions live)
+        (6, '<meta id="enc" charset="big5">'),
+        (7, "<meta name='e' charset=koi8-r>"),
+        # both shapes in one doc: quoted mention first, real attr later
+        (8, '<meta content="charset=big5"><meta lang="x" charset="gbk">'),
     ]
     df = spark.createDataFrame(rows, "i long, html string")
     got = {r["i"]: r["cs"] for r in df.select("i", declared_charset(F.col("html")).alias("cs")).collect()}
@@ -74,6 +81,9 @@ def test_declared_charset_precedence(spark):
     assert got[3] == "shift_jis"
     assert got[4] == "utf-8"        # HTML5 default
     assert got[5] == "utf-8"        # mention inside content attr ignored
+    assert got[6] == "big5"         # second-attribute-position form
+    assert got[7] == "koi8-r"       # unquoted value, single-quoted neighbour
+    assert got[8] == "gbk"          # real attr wins over quoted mention
 
 
 def test_charset_report_routing(spark):

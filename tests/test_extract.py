@@ -162,6 +162,26 @@ def test_canonical_clusters_collapse_and_flags(spark):
     assert len(got) == 5
 
 
+def test_canonical_case_and_quote_styles(spark):
+    """Uppercase / single-quoted / unquoted-rel annotations must declare
+    the same canonical as the plain form; href case is preserved."""
+    from webscraper_spark.operators.canonical import canonical_clusters
+
+    tgt = "https://a.ex/Mixed/Case"
+    rows = [
+        ("https://a.ex/v0", f'<link rel="canonical" href="{tgt}">'),
+        ("https://a.ex/v1", f"<link rel='canonical' href='{tgt}'>"),
+        ("https://a.ex/v2", f'<LINK REL="CANONICAL" HREF="{tgt}"/>'),
+        ("https://a.ex/v3", f'<link rel=canonical href="{tgt}">'),
+        # rel="canonical-x" must NOT match (\b guard is not a prefix match)
+        ("https://a.ex/v4", f'<link rel="canonicalish" href="{tgt}">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["canonical"]: r["n_members"] for r in canonical_clusters(df).collect()}
+    assert got[tgt] == 4
+    assert got["https://a.ex/v4"] == 1  # self-canonical fallback
+
+
 # --- hreflang clustering (operators/hreflang.py, SURVEY 2.10 L50) ---
 
 def _hl(lang, href):
@@ -195,3 +215,27 @@ def test_hreflang_edges_and_reciprocity(spark):
         assert got[u] == (3, 3, 3, True)
     assert got["https://rogue.ex/p"] == (1, 1, 0, False)  # one-way claim flagged
     assert "https://a.ex/plain" not in got
+
+
+def test_hreflang_attribute_order_case_quotes(spark):
+    """Real pages emit every attribute order / case / quote style; all
+    variants must yield the same edge as the plain double-quoted form."""
+    from webscraper_spark.operators.hreflang import hreflang_edges
+
+    alt = "https://a.ex/De/p"  # mixed-case path: href case must be PRESERVED
+    rows = [
+        ("https://v.ex/0", f'<link rel="alternate" hreflang="de" href="{alt}"/>'),
+        # swapped order, single quotes
+        ("https://v.ex/1", f"<link href='{alt}' rel='alternate' hreflang='de'>"),
+        # uppercase tag + attribute names + rel/lang values
+        ("https://v.ex/2", f'<LINK REL="ALTERNATE" HREFLANG="DE" HREF="{alt}"/>'),
+        # href between rel and hreflang, unquoted rel
+        ("https://v.ex/3", f'<link rel=alternate href="{alt}" hreflang="de"/>'),
+        # alternate-stylesheet link (no hreflang) must yield NO edge
+        ("https://v.ex/4", '<link rel="alternate stylesheet" href="/s.css"/>'),
+        # hreflang but no rel=alternate at all -> tag regex never fires
+        ("https://v.ex/5", f'<link hreflang="de" href="{alt}"/>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {(r["url"], r["lang"], r["alt_url"]) for r in hreflang_edges(df).collect()}
+    assert got == {(f"https://v.ex/{i}", "de", alt) for i in range(4)}

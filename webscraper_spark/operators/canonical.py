@@ -30,8 +30,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-CANON_TAG = r'<link\b[^>]*rel="canonical"[^>]*/?>'
-HREF_IN_TAG = r'href="([^"]*)"'
+# (?i) + ["']? make tag/attribute case and quote style free while the
+# extracted href keeps its original case (URL paths are case-sensitive —
+# the reason this matches case-insensitively via regex flag instead of
+# lowercasing the document the way charset.py can).  RE2-safe, so the
+# DuckDB oracle replays both regexes verbatim.
+CANON_TAG = r"""(?i)<link\b[^>]*\brel\s*=\s*["']?canonical\b[^>]*/?>"""
+HREF_IN_TAG = r"""(?i)\bhref\s*=\s*["']([^"']*)["']"""
 _HOST = r"^[a-z]+://([^/:?#]+)"
 
 

@@ -31,12 +31,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 XML_DECL = r"""<\?xml[^>]*encoding=["']([A-Za-z0-9_.:-]+)["']"""
-# charset must be the meta tag's FIRST attribute (the dominant real-world
-# form, and what the HTML5 spec examples show) — a looser `<meta[^>]*charset=`
-# also matched 'charset=big5' INSIDE a content="..." description text and
-# routed valid UTF-8 pages to the transcode lane (code-review catch).
+# charset may appear at ANY attribute position (<meta id="e" charset=...>
+# is valid HTML5), but a looser `<meta[^>]*charset=` also matched
+# 'charset=big5' INSIDE a content="..." description text and routed valid
+# UTF-8 pages to the transcode lane (code-review catch).  The guard: the
+# text between '<meta' and the charset attribute must consist of
+# non-quote characters or COMPLETE quoted strings — a charset= inside an
+# unterminated quote can never match, so quoted attribute VALUES are
+# skipped as opaque units while real attribute positions stay reachable.
+# RE2-safe (no lookaround), so the DuckDB oracle replays it verbatim.
 # Content-Type declarations are HTTP_EQUIV's job.
-META_CHARSET = r"""<meta\s+charset=["']?([A-Za-z0-9_.:-]+)"""
+META_CHARSET = r"""<meta(?:[^>"']|"[^"]*"|'[^']*')*?\scharset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
 HTTP_EQUIV = r"""<meta[^>]*http-equiv=["']?content-type["']?[^>]*charset=([A-Za-z0-9_.:-]+)"""
 
 UTF8_FAMILY = ("utf-8", "us-ascii")

@@ -29,24 +29,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HREFLANG_TAG = r'<link\b[^>]*rel="alternate"[^>]*hreflang="([a-zA-Z0-9-]+)"[^>]*href="([^"]*)"[^>]*/?>'
+# Two-step matching (tag first, attributes second — the canonical.py
+# pattern) so attribute ORDER is free; (?i) + ["']? makes case and quote
+# style free too.  Both regexes are RE2-safe so the DuckDB oracle replays
+# them verbatim.  `\brel\s*=\s*["']?alternate` also matches
+# rel="alternate stylesheet" tags — those carry no hreflang attribute and
+# are dropped by the lang!='' filter below.
+LINK_ALT_TAG = r"""(?i)<link\b[^>]*\brel\s*=\s*["']?alternate\b[^>]*>"""
+LANG_IN_TAG = r"""(?i)\bhreflang\s*=\s*["']?([a-zA-Z0-9-]+)"""
+HREF_IN_TAG = r"""(?i)\bhref\s*=\s*["']([^"']*)["']"""
 
 
 def hreflang_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """(url, lang, alt_url) per declared alternate. Attribute order is
-    fixed hreflang-then-href in this extractor (the dominant emitted
-    order; a production variant adds the swapped alternation the same
-    way canonical.py handles it) — self-referencing alternates are kept
-    (the spec REQUIRES a page to list itself among its alternates)."""
-    tags = F.regexp_extract_all(F.col(html_col), F.lit(HREFLANG_TAG), 0)
+    """(url, lang, alt_url) per declared alternate.
+
+    Matching contract: attribute order free (rel/hreflang/href in any
+    order), attribute names and the rel value case-insensitive, both
+    quote styles accepted (href must be quoted — an unquoted URL value
+    is a parse ambiguity this extractor refuses to guess at); href case
+    is PRESERVED (URL paths are case-sensitive).  Self-referencing
+    alternates are kept (the spec REQUIRES a page to list itself among
+    its alternates)."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(LINK_ALT_TAG), 0)
     t = pages.select(F.col(url_col).alias("url"), F.explode(tags).alias("tag"))
     return t.select(
         "url",
-        F.lower(F.regexp_extract("tag", HREFLANG_TAG, 1)).alias("lang"),
-        F.regexp_extract("tag", HREFLANG_TAG, 2).alias("alt_url"),
-    )
+        F.lower(F.regexp_extract("tag", LANG_IN_TAG, 1)).alias("lang"),
+        F.regexp_extract("tag", HREF_IN_TAG, 1).alias("alt_url"),
+    ).filter((F.col("lang") != "") & (F.col("alt_url") != ""))
 
 
 def hreflang_clusters(
