@@ -130,6 +130,24 @@ def test_cms_sketch_partial_aggregates(spark):
     assert "BroadcastHashJoin" in plan       # d*w sketch broadcast into point query
 
 
+def test_cms_topk_with_candidates_skips_stream_distinct(spark):
+    """`candidates=None` falls back to a full distinct of the stream —
+    the shuffle the sketch exists to avoid. With an explicit candidate
+    list the stream contributes ONLY the fixed d*w sketch aggregate: one
+    fewer aggregate pair in the plan, and the broadcast point-query."""
+    from webscraper_spark.operators.sketch import cms_topk
+
+    df = spark.createDataFrame([(f"h{i % 9}",) for i in range(50)], "item string")
+    cand = spark.createDataFrame([(f"h{i}",) for i in range(9)], "item string")
+    p_default = _plan(cms_topk(df, F.col("item"), d=4, w=64, k=5))
+    p_cand = _plan(cms_topk(df, F.col("item"), candidates=cand, d=4, w=64, k=5))
+    assert "BroadcastHashJoin" in p_cand
+    assert "EvalPython" not in p_cand
+    # sketch agg + estimate agg only; the default plan carries the extra
+    # stream-distinct aggregate on top
+    assert p_cand.count("HashAggregate") < p_default.count("HashAggregate")
+
+
 def test_chunking_is_codegen_no_shuffle(spark):
     from webscraper_spark.operators.chunk import chunk_documents
 

@@ -464,6 +464,28 @@ def test_curation_decision_first_failing_rule(spark, docs):
     assert 0 < n_keep < len(rows)
 
 
+def test_repetition_stats_empty_string_first_element(spark):
+    """repetition_stats/_max_run_frac carry an explicit `seen` flag in
+    the fold accumulator, so an array whose FIRST (sorted) element is ''
+    counts it as a real run start instead of merging into the seed
+    (code-review catch on the old '' sentinel)."""
+    from webscraper_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, ["", "a", "a"]),   # '' sorts first: dist must be 2, best 2
+            (1, ["", "", "b"]),    # run of two '' : best 2, dist 2
+            (2, ["a", "b", "c"]),  # no '' at all: unchanged behavior
+        ],
+        "i long, arr array<string>",
+    )
+    got = {r["i"]: (r["s"]["best"], r["s"]["dist"])
+           for r in df.select("i", repetition_stats(F.col("arr")).alias("s")).collect()}
+    assert got[0] == (2, 2)
+    assert got[1] == (2, 2)
+    assert got[2] == (1, 3)
+
+
 def test_sequence_packing_arithmetic_and_parallelism_invariance(spark):
     """pack_sequences vs a hand-rolled python oracle, and bit-stability
     across repartitioning (the in-shard order key is doc_id, never

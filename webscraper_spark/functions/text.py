@@ -104,15 +104,19 @@ def _max_run_frac(arr: Column) -> Column:
     Stays inside codegen: no explode, no groupBy, no Python."""
     srt = F.array_sort(arr)
     zero = F.lit(0).cast("long")
+    # `seen` marks "prev holds a real element" — without it, an array whose
+    # first element equals the seed value would merge into a phantom run
+    # (code-review catch on the '' sentinel this replaces).
     best = F.aggregate(
         srt,
-        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        F.struct(F.lit("").alias("prev"), F.lit(False).alias("seen"), zero.alias("run"), zero.alias("best")),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.lit(True).alias("seen"),
+            F.when(acc["seen"] & (x == acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
             F.greatest(
                 acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+                F.when(acc["seen"] & (x == acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long")),
             ).alias("best"),
         ),
         lambda acc: acc["best"],
@@ -130,20 +134,23 @@ def repetition_stats(arr: Column) -> Column:
     srt = F.array_sort(arr)
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
+    # `seen` (not a '' sentinel) marks the first element, so arrays whose
+    # first element IS the empty string still count it as a run start.
     return F.aggregate(
         srt,
         F.struct(
-            F.lit("").alias("prev"), zero.alias("run"),
+            F.lit("").alias("prev"), F.lit(False).alias("seen"), zero.alias("run"),
             zero.alias("best"), zero.alias("dist"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(one).alias("run"),
+            F.lit(True).alias("seen"),
+            F.when(acc["seen"] & (x == acc["prev"]), acc["run"] + 1).otherwise(one).alias("run"),
             F.greatest(
                 acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(one),
+                F.when(acc["seen"] & (x == acc["prev"]), acc["run"] + 1).otherwise(one),
             ).alias("best"),
-            (acc["dist"] + F.when(x == acc["prev"], zero).otherwise(one)).alias("dist"),
+            (acc["dist"] + F.when(acc["seen"] & (x == acc["prev"]), zero).otherwise(one)).alias("dist"),
         ),
         lambda acc: F.struct(acc["best"].alias("best"), acc["dist"].alias("dist")),
     )

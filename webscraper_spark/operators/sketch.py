@@ -150,13 +150,27 @@ def cms_topk(
     """Top-k heavy hitters of the `col` stream by count-min estimate.
 
     `candidates` is the item universe to point-query (one string column
-    named `item`); default is the stream's distinct values — fine when
+    named `item`).
+
+    **Pass `candidates` at corpus scale.** The `candidates=None` default
+    falls back to `df.select(col).distinct()` — a full shuffle of the
+    stream's distinct values, i.e. exactly the cost the sketch exists to
+    avoid. The default is only sound in the heavy-hitter regime where
     item cardinality (hosts) is orders of magnitude below stream length
-    (URLs), which is the heavy-hitter regime this targets. The d*w-row
-    sketch is broadcast into the candidate join, so the only shuffle is
-    the candidate distinct; estimate = min over the d rows (classic CMS
-    point query, upper-biased only by collisions). Ties at the k
-    boundary break by item ASC — deterministic in any engine.
+    (URLs) so the distinct is cheap relative to the scan. At 10^10-URL
+    scale, hand the scheduler's existing host table (or any bounded
+    candidate list) in: the sketch is d*w rows and broadcast, so the plan
+    then contains NO stream-sized shuffle at all
+    (tests/test_plan_shapes.py pins this).
+
+    Estimate = min over the d rows (classic CMS point query). Like every
+    CMS estimate it is upper-biased by collisions: a candidate absent
+    from the stream must not VANISH from the output — its cells may
+    still collide with populated buckets, so it estimates at most the
+    collision noise of its least-loaded cell (0 only when some cell is
+    untouched; the coalesce(0) covers those fully-empty buckets, which a
+    left join would otherwise return as NULL). Ties at the k boundary
+    break by item ASC — deterministic in any engine.
     """
     sketch = cms_sketch(df, col, d=d, w=w)
     if candidates is None:
@@ -164,8 +178,6 @@ def cms_topk(
     cand_cells = candidates.select(
         "item", _cms_cells(F.col("item"), d, w).alias("rb")
     ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    # Left join + coalesce(0): a candidate not in the stream (external
-    # candidate list) has empty cells and must estimate 0, not vanish.
     est = (
         cand_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("item")
