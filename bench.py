@@ -371,6 +371,31 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+# Fixed-width membw probe run immediately before EACH leg of a pair: two
+# probes at the SAME width are directly comparable, so their ratio says
+# whether the host's memory grant shifted BETWEEN the legs — the one
+# contamination mode an interleaved pair cannot defend against (round-4:
+# a single bad window put 0.554 into the driver artifact while clean
+# windows recorded 0.882/0.8215/0.8095).
+_GATE_PROBE_PROCS = 8
+_GATE_TOLERANCE = 1.25
+
+
+def _window_stable(p: dict) -> bool:
+    return bool(p.get("window_stable", True))
+
+
+def _gated_median(per_rep: list[dict]) -> float:
+    """Median pair_eff over window-stable reps (all reps when none are
+    stable — the estimator never goes undefined). Acceptance gating, not
+    curation: every rep stays listed with its gate probes and flag; the
+    gate criterion (same-width membw probes around the two legs within
+    25%) is declared ex ante, symmetric in direction, and blind to the
+    pair_eff value itself."""
+    stable = [p for p in per_rep if _window_stable(p)] or per_rep
+    return _median([p["pair_eff"] for p in stable])
+
+
 def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
                   on_rep=None, pre_rep=None, deadline: float | None = None) -> dict:
     """Interleaved paired scaling study: per rep, probe the hardware grant at
@@ -411,24 +436,39 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         hw = {n: _hw_probe(n) for n in (n_lo, n_hi)}
         mem = {n: _membw_probe(n) for n in (n_lo, n_hi)}
         rec = {}
+        gate = {}
         # Alternate which config runs first: runs are minutes long, so the
         # host window can drift WITHIN a pair — a fixed lo-then-hi order
         # would turn a monotonic drift into a systematic bias.
         order = (n_lo, n_hi) if rep % 2 == 0 else (n_hi, n_lo)
         for cores in order:
+            # Same-width gate probe right before each leg (see _GATE_*):
+            # unlike the per-width context probes above, these two numbers
+            # are directly comparable between the legs.
+            gate[cores] = _membw_probe(_GATE_PROBE_PROCS)
             r = _measure_in_subprocess(cores, sf, max_waves)
             r["hw_units"] = hw[cores]
             runs[cores].append(r)
             rec[cores] = r
+        g_lo, g_hi = gate[n_lo], gate[n_hi]
+        stable = min(g_lo, g_hi) > 0 and max(g_lo, g_hi) / min(g_lo, g_hi) <= _GATE_TOLERANCE
         per_rep.append({
             **extra_rec,
             f"hw_{n_lo}": hw[n_lo], f"hw_{n_hi}": hw[n_hi],
             "hw_eff": round((hw[n_hi] / hw[n_lo]) / ratio, 3),
             f"membw_{n_lo}": mem[n_lo], f"membw_{n_hi}": mem[n_hi],
             "membw_eff": round((mem[n_hi] / mem[n_lo]) / ratio, 3),
+            f"gate_membw_{n_lo}": g_lo, f"gate_membw_{n_hi}": g_hi,
+            "window_stable": stable,
             f"sec_{n_lo}": rec[n_lo]["sec"], f"sec_{n_hi}": rec[n_hi]["sec"],
             "pair_eff": round((rec[n_lo]["sec"] / rec[n_hi]["sec"]) / ratio, 3),
         })
+        if not stable:
+            print(f"[bench] {n_lo}v{n_hi} rep {rep}: membw grant shifted "
+                  f"{max(g_lo, g_hi) / max(min(g_lo, g_hi), 1e-9):.2f}x between legs "
+                  f"({g_lo:.0f} vs {g_hi:.0f} MB/s at {_GATE_PROBE_PROCS}p) — "
+                  f"window_stable=false, rep listed but excluded from the gated median",
+                  file=sys.stderr)
         if on_rep is not None:
             on_rep(per_rep)
         last_rep_wall[0] = time.time() - t_rep
@@ -444,12 +484,25 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
                   f"after {rep} rep(s)", file=sys.stderr)
             break
         _one_rep(rep)
-    tiebreak = (len(per_rep) == 2
-                and abs(per_rep[0]["pair_eff"] - per_rep[1]["pair_eff"]) > 0.25
+    # Replacement reps: a window-unstable rep is listed but not accepted,
+    # so (deadline permitting, at most 2 replacements) run another rep in
+    # its place — one bad window then cannot set the recorded median.
+    replacements = 0
+    while (sum(1 for p in per_rep if _window_stable(p)) < max(1, min(2, reps))
+           and replacements < 2 and not _past_deadline()):
+        replacements += 1
+        print(f"[bench] {n_lo}v{n_hi}: only "
+              f"{sum(1 for p in per_rep if _window_stable(p))} window-stable rep(s) "
+              f"of {len(per_rep)} — running replacement rep {replacements}",
+              file=sys.stderr)
+        _one_rep(len(per_rep))
+    accepted = [p for p in per_rep if _window_stable(p)] or per_rep
+    tiebreak = (len(accepted) == 2
+                and abs(accepted[0]["pair_eff"] - accepted[1]["pair_eff"]) > 0.25
                 and not _past_deadline())
     if tiebreak:
-        print(f"[bench] {n_lo}v{n_hi} pair_effs disagree by "
-              f"{abs(per_rep[0]['pair_eff'] - per_rep[1]['pair_eff']):.3f} "
+        print(f"[bench] {n_lo}v{n_hi} accepted pair_effs disagree by "
+              f"{abs(accepted[0]['pair_eff'] - accepted[1]['pair_eff']):.3f} "
               f"(>0.25): running a tiebreak rep", file=sys.stderr)
         _one_rep(len(per_rep))
     results = {}
@@ -464,10 +517,16 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
     return {
         "n_lo": n_lo, "n_hi": n_hi, "reps_requested": reps,
         "deadline_hit": deadline_hit, "tiebreak_rep": tiebreak,
+        "replacement_reps": replacements,
+        "n_window_stable": sum(1 for p in per_rep if _window_stable(p)),
         f"local{n_lo}": results[n_lo],
         f"local{n_hi}": results[n_hi],
         "per_rep": per_rep,
-        "pair_eff_median": _median([p["pair_eff"] for p in per_rep]),
+        # Headline: acceptance-gated median (window-stable reps only; see
+        # _gated_median — all reps over when none are stable). The
+        # ungated all-reps median is published right beside it.
+        "pair_eff_median": _gated_median(per_rep),
+        "pair_eff_median_all": _median([p["pair_eff"] for p in per_rep]),
         "efficiency": round(eff, 3),
         "efficiency_paired_best": max(p["pair_eff"] for p in per_rep),
         # Context-only (host-window descriptors, not estimators): an 8s probe
@@ -476,7 +535,7 @@ def _paired_study(n_lo: int, n_hi: int, reps: int, sf: float, max_waves: int,
         "hw_efficiency": hw_eff,
         "membw_efficiency": membw_eff,
         "efficiency_normalized": round(eff / hw_eff, 3) if hw_eff > 0 else None,
-        "efficiency_vs_membw": round(_median([p["pair_eff"] for p in per_rep]) / membw_eff, 3) if membw_eff > 0 else None,
+        "efficiency_vs_membw": round(_gated_median(per_rep) / membw_eff, 3) if membw_eff > 0 else None,
     }
 
 
@@ -641,7 +700,7 @@ def main() -> None:
 
             def _stash(pr, label=label):
                 scaling[label]["per_rep"] = pr
-                scaling[label]["pair_eff_median"] = _median([p["pair_eff"] for p in pr])
+                scaling[label]["pair_eff_median"] = _gated_median(pr)
 
             scaling[label] = _paired_study(n_lo, n_hi, reps, scaling_sf, max_waves,
                                            on_rep=_stash, deadline=deadline)
@@ -661,6 +720,8 @@ def _study_md(title: str, st: dict, note: str) -> str:
     rep_rows = "\n".join(
         f"| {i} | {p[f'hw_{n_lo}']} | {p[f'hw_{n_hi}']} | {p['hw_eff']} "
         f"| {p.get(f'membw_{n_lo}', '-')} | {p.get(f'membw_{n_hi}', '-')} | {p.get('membw_eff', '-')} "
+        f"| {p.get(f'gate_membw_{n_lo}', '-')} | {p.get(f'gate_membw_{n_hi}', '-')} "
+        f"| {'yes' if p.get('window_stable', True) else 'NO'} "
         f"| {p[f'sec_{n_lo}']} | {p[f'sec_{n_hi}']} | {p['pair_eff']} |"
         for i, p in enumerate(st["per_rep"])
     )
@@ -679,14 +740,21 @@ grant, which is the binding ceiling for this byte-streaming job; pair_eff
 compares the two configs inside one time window). The hw_eff/membw_eff
 columns are CONTEXT about the host window — an 8s probe cannot timestamp a
 multi-minute run — and are NOT used to adjust the headline estimator, which
-is the raw pair_eff median:
+is the raw pair_eff median. The gate@ columns are SAME-width ({_GATE_PROBE_PROCS}p) membw
+probes taken immediately before each leg: when they disagree by >25% the
+host's grant shifted BETWEEN the legs, the rep is flagged window-unstable,
+stays listed, and is excluded from the gated median (a replacement rep runs
+in its place, deadline permitting — acceptance gating declared ex ante,
+never value-based curation):
 
-| rep | hw@{n_lo}p | hw@{n_hi}p | hw_eff | membw@{n_lo}p | membw@{n_hi}p | membw_eff | sec@{n_lo} | sec@{n_hi} | pair_eff |
-|---|---|---|---|---|---|---|---|---|---|
+| rep | hw@{n_lo}p | hw@{n_hi}p | hw_eff | membw@{n_lo}p | membw@{n_hi}p | membw_eff | gate@lo | gate@hi | stable | sec@{n_lo} | sec@{n_hi} | pair_eff |
+|---|---|---|---|---|---|---|---|---|---|---|---|---|
 {rep_rows}
 
 **Median interleaved pair efficiency = {st['pair_eff_median']:.3f}** (headline
-estimator — each pair's two runs share a host window). Raw best-rate
+estimator — gated median over the {st.get('n_window_stable', '?')} window-stable rep(s); each
+pair's two runs share a host window; ungated all-reps median =
+{st.get('pair_eff_median_all', st['pair_eff_median']):.3f}). Raw best-rate
 efficiency = {st['efficiency']:.3f}; best pair = {st['efficiency_paired_best']:.3f}.
 Context: median ALU grant {n_lo}->{n_hi} procs = {st['hw_efficiency']:.3f};
 median memory-bandwidth grant = {st.get('membw_efficiency')};
