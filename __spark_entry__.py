@@ -4300,6 +4300,187 @@ FROM agg a LEFT JOIN rc ON a.url = rc.url
 """
 
 
+def _q_crawl_wave_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene-wave integration (plans/hygiene.py — the L40/L45/L35/L42/
+    L46 family run as ONE frontier pass): 10-row blocks synthesize every
+    hygiene case — a canonical article, a 2-hop redirect alias into it, a
+    ?ref= canonical variant of it, a blocklisted URL, a 10-deep path, a
+    calendar-trap URL (2 digit slots, dense per-host), a tracking-param
+    variant (kept + flagged), a redirect 2-cycle (dropped), a 7-param
+    URL, and a URL on a throttling host. The pipeline resolves redirects
+    (pointer jumping), collapses canonicals, dedups to the minimal
+    discovery record, applies the URL-quality verdict, masks trap
+    templates, and schedules per-host FIFO with AIMD-backoff-fed delays
+    (slow.ex throttled 2 waves -> 100<<2 = 400ms; clean hosts 100ms)."""
+    from webscraper_spark.plans.hygiene import hygiene_frontier
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m, b = i % 10, F.expr("doc_id div 10")
+    hostb = F.concat(F.lit("h"), (b % 5).cast("string"), F.lit(".ex"))
+    art = F.concat(
+        F.lit("https://"), hostb, F.lit("/art/item-"), b.cast("string"), F.lit("-page")
+    )
+    url = (
+        F.when(m == 0, art)
+        .when(m == 1, F.concat(F.lit("https://"), hostb, F.lit("/r/"), i.cast("string")))
+        .when(m == 2, F.concat(art, F.lit("?ref=x")))
+        .when(m == 3, F.concat(F.lit("https://"), hostb, F.lit("/casino/x"), i.cast("string")))
+        .when(m == 4, F.concat(F.lit("https://"), hostb, F.lit("/a/b/c/d/e/f/g/h/x"), i.cast("string")))
+        .when(m == 5, F.concat(F.lit("https://trap.ex/cal/"),
+                               F.expr("doc_id div 7").cast("string"), F.lit("/"),
+                               (i % 7).cast("string")))
+        .when(m == 6, F.concat(art, F.lit("?utm_source=x")))
+        .when(m == 7, F.concat(F.lit("https://"), hostb, F.lit("/loop/a"), i.cast("string")))
+        .when(m == 8, F.concat(art, F.lit("?p1=1&p2=1&p3=1&p4=1&p5=1&p6=1&p7=1")))
+        .otherwise(F.concat(F.lit("https://slow.ex/item-"), i.cast("string"), F.lit("-x")))
+    )
+    cand = d.select(
+        url.alias("url"),
+        F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1).alias("host"),
+        F.lit(1).cast("int").alias("depth"),
+        F.lit(1).cast("int").alias("disc_wave"),
+        i.alias("disc_pos"),
+    )
+    m1 = d.filter(m == 1)
+    m7 = d.filter(m == 7)
+    edges = (
+        m1.select(
+            F.concat(F.lit("https://"), hostb, F.lit("/r/"), i.cast("string")).alias("src"),
+            F.concat(F.lit("https://"), hostb, F.lit("/r2/"), i.cast("string")).alias("dst"),
+        )
+        .unionByName(m1.select(
+            F.concat(F.lit("https://"), hostb, F.lit("/r2/"), i.cast("string")).alias("src"),
+            art.alias("dst"),
+        ))
+        .unionByName(m7.select(
+            F.concat(F.lit("https://"), hostb, F.lit("/loop/a"), i.cast("string")).alias("src"),
+            F.concat(F.lit("https://"), hostb, F.lit("/loop/b"), i.cast("string")).alias("dst"),
+        ))
+        .unionByName(m7.select(
+            F.concat(F.lit("https://"), hostb, F.lit("/loop/b"), i.cast("string")).alias("src"),
+            F.concat(F.lit("https://"), hostb, F.lit("/loop/a"), i.cast("string")).alias("dst"),
+        ))
+    )
+    cmap = d.filter(m == 2).select(
+        F.concat(art, F.lit("?ref=x")).alias("url"), art.alias("canonical")
+    )
+    oh = i % 7
+    outcomes = d.select(
+        F.when(oh <= 4, F.concat(F.lit("h"), oh.cast("string"), F.lit(".ex")))
+        .when(oh == 5, F.lit("slow.ex"))
+        .otherwise(F.lit("trap.ex"))
+        .alias("host"),
+        (F.expr("doc_id div 7") % 4).cast("long").alias("wave"),
+        F.when((oh == 5) & (F.expr("doc_id div 7") % 4 >= 2) & (i % 3 != 0), F.lit("429"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    return hygiene_frontier(
+        cand, redirect_edges=edges, canonical_map=cmap, outcomes=outcomes,
+        wave=1, base_delay_ms=100, trap_min_urls=30,
+    )
+
+
+_SQL_HYGIENE = r"""
+WITH d AS (SELECT doc_id AS i, doc_id % 10 AS m, doc_id // 10 AS b FROM documents),
+base AS (
+  SELECT i, m, 'h' || (b % 5)::VARCHAR || '.ex' AS hostb,
+    'https://h' || (b % 5)::VARCHAR || '.ex/art/item-' || b::VARCHAR || '-page' AS art
+  FROM d),
+cand AS (
+  SELECT i, m, art,
+    CASE m
+      WHEN 0 THEN art
+      WHEN 1 THEN 'https://' || hostb || '/r/' || i::VARCHAR
+      WHEN 2 THEN art || '?ref=x'
+      WHEN 3 THEN 'https://' || hostb || '/casino/x' || i::VARCHAR
+      WHEN 4 THEN 'https://' || hostb || '/a/b/c/d/e/f/g/h/x' || i::VARCHAR
+      WHEN 5 THEN 'https://trap.ex/cal/' || (i // 7)::VARCHAR || '/' || (i % 7)::VARCHAR
+      WHEN 6 THEN art || '?utm_source=x'
+      WHEN 7 THEN 'https://' || hostb || '/loop/a' || i::VARCHAR
+      WHEN 8 THEN art || '?p1=1&p2=1&p3=1&p4=1&p5=1&p6=1&p7=1'
+      ELSE 'https://slow.ex/item-' || i::VARCHAR || '-x' END AS url
+  FROM base),
+-- stage 1+2: m=1 is an exact 2-hop redirect chain into art (resolved);
+-- m=7 is a redirect 2-cycle (dropped); m=2 declares art as canonical
+resolved AS (
+  SELECT i, CASE WHEN m IN (1, 2) THEN art ELSE url END AS url
+  FROM cand WHERE m <> 7),
+-- stage 3: dedup by final url, minimal discovery record (disc_pos = i)
+dedup AS (
+  SELECT url, regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         min(i)::BIGINT AS disc_pos
+  FROM resolved GROUP BY url),
+-- stage 4: url_features + first-failing-rule verdict (operators/urlfilter.py)
+feat AS (
+  SELECT url, host, disc_pos,
+    regexp_replace(regexp_extract(url, '^([^?#]*)', 1), '^[a-z]+://[^/]*', '') AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS qs
+  FROM dedup),
+f2 AS (
+  SELECT url, host, disc_pos, path,
+    (len(string_split(path, '/')) - 1)::INT AS depth,
+    (CASE WHEN qs = '' THEN 0 ELSE len(string_split(qs, '&')) END)::INT AS n_params,
+    length(regexp_extract(path, '([^/]*)$', 1))::INT AS slug_len,
+    length(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g'))::INT AS slug_digits,
+    regexp_matches(qs, '(^|&)(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=') AS has_tracking,
+    regexp_matches(host || path, '(casino|viagra|warez|phishing|malware)') AS blocked_kw
+  FROM feat),
+kept AS (
+  SELECT url, host, disc_pos, path,
+    CASE WHEN has_tracking THEN 'keep:strip_tracking' ELSE 'keep' END AS verdict
+  FROM f2
+  WHERE NOT blocked_kw AND depth <= 8 AND n_params <= 6
+    AND NOT (slug_len >= 4 AND slug_digits * 2 > slug_len * 1)),
+-- stage 5: trap templates ((host, template) with >=30 urls and >=2 slots)
+tmpl AS (
+  SELECT url, host, disc_pos, verdict,
+    regexp_replace(regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END,
+                                  '[0-9a-f]{8,}', '{hex}', 'g'),
+                   '[0-9]+', '{n}', 'g') AS template
+  FROM kept),
+traps AS (
+  SELECT host, template FROM tmpl GROUP BY host, template
+  HAVING count(*) >= 30
+     AND (length(template) - length(replace(template, '{', ''))) >= 2),
+masked AS (
+  SELECT t.url, t.host, t.disc_pos, t.verdict FROM tmpl t
+  WHERE NOT EXISTS (SELECT 1 FROM traps tr
+                    WHERE tr.host = t.host AND tr.template = t.template)),
+-- stage 6: AIMD backoff delays from (host, wave, status) outcomes
+o AS (
+  SELECT CASE WHEN i % 7 <= 4 THEN 'h' || (i % 7)::VARCHAR || '.ex'
+              WHEN i % 7 = 5 THEN 'slow.ex' ELSE 'trap.ex' END AS bhost,
+         ((i // 7) % 4)::BIGINT AS wave,
+         CASE WHEN i % 7 = 5 AND ((i // 7) % 4) >= 2 AND i % 3 <> 0
+              THEN '429' ELSE 'ok' END AS status
+  FROM d),
+tw AS (
+  SELECT bhost, wave,
+         (sum(CASE WHEN status IN ('429', '503', 'timeout') THEN 1 ELSE 0 END) * 10
+            >= count(*) * 1) AS thr
+  FROM o GROUP BY bhost, wave),
+ph AS (
+  SELECT bhost, max(wave) AS latest_wave, min(wave) AS first_wave,
+         max(CASE WHEN NOT thr THEN wave END) AS last_clean
+  FROM tw GROUP BY bhost),
+delays AS (
+  SELECT bhost AS host,
+         (100 * (1 << least(latest_wave - coalesce(last_clean, first_wave - 1), 6)))::BIGINT
+           AS delay_ms
+  FROM ph),
+ranked AS (
+  SELECT mk.url, mk.host, 1::INT AS depth, 1::INT AS disc_wave, mk.disc_pos, mk.verdict,
+         row_number() OVER (PARTITION BY mk.host ORDER BY mk.disc_pos, mk.url) AS rank,
+         coalesce(dl.delay_ms, 100)::BIGINT AS delay_ms
+  FROM masked mk LEFT JOIN delays dl ON dl.host = mk.host)
+SELECT url, host, depth, disc_wave, disc_pos, verdict, rank, delay_ms,
+       (10000000 + (rank - 1) * delay_ms)::BIGINT AS sched_ms
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered by driver-correctness priority.
 
@@ -4311,6 +4492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inserted at the very front.  Keep oracle_sql() in the same order.
     """
     return {
+        # --- new in round 5 ---
+        "crawl_wave_hygiene": _q_crawl_wave_hygiene,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4410,6 +4593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL, in the same order as queries() — see its docstring."""
     return {
+        # --- new in round 5 ---
+        "crawl_wave_hygiene": _SQL_HYGIENE,
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,
