@@ -3623,6 +3623,73 @@ SELECT item, est FROM est ORDER BY est DESC, item LIMIT {_CMS_K}
 """
 
 
+def _q_cms_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS top-k with an EXPLICIT candidate list (round-4 verdict #6,
+    the corpus-scale posture for operators/sketch.py cms_topk): the
+    candidate universe is the bounded host table (11 ranks x 37 shards
+    = 407 rows, built by spark.range without scanning the stream), so
+    the plan contains NO stream-sized distinct — the stream contributes
+    only the fixed 4x2048 sketch aggregate and the candidates join the
+    broadcast sketch (tests/test_plan_shapes.py pins the shape).
+    Candidates absent from the stream estimate at most collision noise,
+    never vanish — the oracle replays the same cells, collisions and
+    all."""
+    from webscraper_spark.operators.sketch import cms_topk
+
+    d = spark.read.parquet(_t(sf_dir, "events"))
+    i = F.col("event_id").cast("long")
+    tz = F.when(i % (1 << 10) == 0, F.lit(10))
+    for b in range(9, 0, -1):
+        tz = tz.when(i % (1 << b) == 0, F.lit(b))
+    tz = tz.otherwise(F.lit(0))
+    host = F.concat(
+        F.lit("host"), tz.cast("string"), F.lit("-"),
+        (i % 37).cast("string"), F.lit(".example.com"),
+    )
+    stream = d.select(host.alias("item"))
+    cand = spark.range(11 * 37).select(
+        F.concat(
+            F.lit("host"), (F.col("id") % 11).cast("string"), F.lit("-"),
+            F.expr("id div 11").cast("string"), F.lit(".example.com"),
+        ).alias("item")
+    )
+    return cms_topk(stream, F.col("item"), candidates=cand, d=_CMS_D, w=_CMS_W, k=_CMS_K)
+
+
+def _sql_cms_topk_candidates() -> str:
+    rs = ", ".join(str(r) for r in range(_CMS_D))
+    tz_case = "CASE " + " ".join(
+        f"WHEN event_id % {1 << b} = 0 THEN {b}" for b in range(10, 0, -1)
+    ) + " ELSE 0 END"
+    h = _sql_h60("'cms' || r::VARCHAR || ':' || item")
+    return f"""
+WITH stream AS (
+  SELECT 'host' || ({tz_case})::VARCHAR || '-' || (event_id % 37)::VARCHAR
+         || '.example.com' AS item
+  FROM events
+),
+cells AS (
+  SELECT item, r, ({h}) % {_CMS_W} AS bucket
+  FROM stream, unnest([{rs}]) AS t(r)
+),
+sketch AS (SELECT r, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY r, bucket),
+cand AS (
+  SELECT 'host' || (g % 11)::VARCHAR || '-' || (g // 11)::VARCHAR
+         || '.example.com' AS item
+  FROM generate_series(0, 406) AS t(g)
+),
+cc AS (
+  SELECT item, r, ({h}) % {_CMS_W} AS bucket
+  FROM cand, unnest([{rs}]) AS t(r)
+),
+est AS (
+  SELECT item, min(coalesce(cnt, 0))::BIGINT AS est
+  FROM cc LEFT JOIN sketch USING (r, bucket) GROUP BY item
+)
+SELECT item, est FROM est ORDER BY est DESC, item LIMIT {_CMS_K}
+"""
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template mining + spider-trap detection (L42 in SURVEY
     §2.10): URLs synthesized with a 3-slot calendar trap (30% of docs),
@@ -4003,7 +4070,7 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
     i = F.col("doc_id").cast("long")
-    m = i % 8
+    m = i % 9
     host = F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".ex"))
     html = (
         F.when(m == 0, F.lit('<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'))
@@ -4013,7 +4080,8 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.lit("<html><body>silent</body></html>"))
         .when(m == 5, F.lit("<meta charset='koi8-r'>"))
         .when(m == 6, F.lit('<meta id="enc" charset="big5">'))
-        .otherwise(F.lit('<meta name="description" content="all about charset=big5 pages">'))
+        .when(m == 7, F.lit('<meta name="description" content="all about charset=big5 pages">'))
+        .otherwise(F.lit('<meta content="text/html; charset=EUC-JP" http-equiv="Content-Type">'))
     )
     url = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
     return charset_report(d.select(url.alias("url"), html.alias("html")))
@@ -4022,7 +4090,7 @@ def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CHARSET_SNIFF = r"""
 WITH p AS (
   SELECT 'h' || (doc_id % 5)::VARCHAR || '.ex' AS host,
-    lower(CASE doc_id % 8
+    lower(CASE doc_id % 9
       WHEN 0 THEN '<?xml version="1.0" encoding="ISO-8859-1"?><meta charset="utf-8">'
       WHEN 1 THEN '<meta charset="windows-1252"><body>'
       WHEN 2 THEN '<META CHARSET=''UTF-8''>'
@@ -4030,7 +4098,8 @@ WITH p AS (
       WHEN 4 THEN '<html><body>silent</body></html>'
       WHEN 5 THEN '<meta charset=''koi8-r''>'
       WHEN 6 THEN '<meta id="enc" charset="big5">'
-      ELSE '<meta name="description" content="all about charset=big5 pages">' END) AS low
+      WHEN 7 THEN '<meta name="description" content="all about charset=big5 pages">'
+      ELSE '<meta content="text/html; charset=EUC-JP" http-equiv="Content-Type">' END) AS low
   FROM documents
 ),
 c AS (
@@ -4039,6 +4108,7 @@ c AS (
       nullif(regexp_extract(low, '<\?xml[^>]*encoding=["'']([a-z0-9_.:-]+)["'']', 1), ''),
       nullif(regexp_extract(low, '<meta(?:[^>"'']|"[^"]*"|''[^'']*'')*?\scharset\s*=\s*["'']?([a-z0-9_.:-]+)', 1), ''),
       nullif(regexp_extract(low, '<meta[^>]*http-equiv=["'']?content-type["'']?[^>]*charset=([a-z0-9_.:-]+)', 1), ''),
+      nullif(regexp_extract(low, '<meta[^>]*charset=([a-z0-9_.:-]+)[^>]*http-equiv=["'']?content-type', 1), ''),
       'utf-8') AS charset
   FROM p
 )
@@ -4494,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 ---
         "crawl_wave_hygiene": _q_crawl_wave_hygiene,
+        "cms_topk_candidates": _q_cms_topk_candidates,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4595,6 +4666,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- new in round 5 ---
         "crawl_wave_hygiene": _SQL_HYGIENE,
+        "cms_topk_candidates": _sql_cms_topk_candidates(),
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,

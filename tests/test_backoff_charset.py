@@ -72,6 +72,8 @@ def test_declared_charset_precedence(spark):
         (7, "<meta name='e' charset=koi8-r>"),
         # both shapes in one doc: quoted mention first, real attr later
         (8, '<meta content="charset=big5"><meta lang="x" charset="gbk">'),
+        # http-equiv AFTER content (reversed attribute order)
+        (9, '<meta content="text/html; charset=EUC-JP" http-equiv="Content-Type">'),
     ]
     df = spark.createDataFrame(rows, "i long, html string")
     got = {r["i"]: r["cs"] for r in df.select("i", declared_charset(F.col("html")).alias("cs")).collect()}
@@ -84,6 +86,7 @@ def test_declared_charset_precedence(spark):
     assert got[6] == "big5"         # second-attribute-position form
     assert got[7] == "koi8-r"       # unquoted value, single-quoted neighbour
     assert got[8] == "gbk"          # real attr wins over quoted mention
+    assert got[9] == "euc-jp"       # reversed http-equiv attribute order
 
 
 def test_charset_report_routing(spark):

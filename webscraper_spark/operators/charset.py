@@ -43,6 +43,11 @@ XML_DECL = r"""<\?xml[^>]*encoding=["']([A-Za-z0-9_.:-]+)["']"""
 # Content-Type declarations are HTTP_EQUIV's job.
 META_CHARSET = r"""<meta(?:[^>"']|"[^"]*"|'[^']*')*?\scharset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
 HTTP_EQUIV = r"""<meta[^>]*http-equiv=["']?content-type["']?[^>]*charset=([A-Za-z0-9_.:-]+)"""
+# Attribute order is free in HTML; the reversed emission
+# <meta content="text/html; charset=X" http-equiv="content-type"> needs
+# its own alternation because RE2 (the oracle's engine) has no lookahead
+# to express order-free matching in one pattern.
+HTTP_EQUIV_REV = r"""<meta[^>]*charset=([A-Za-z0-9_.:-]+)[^>]*http-equiv=["']?content-type"""
 
 UTF8_FAMILY = ("utf-8", "us-ascii")
 
@@ -57,7 +62,8 @@ def declared_charset(html: Column) -> Column:
     xml = F.nullif(F.regexp_extract(low, XML_DECL, 1), F.lit(""))
     meta = F.nullif(F.regexp_extract(low, META_CHARSET, 1), F.lit(""))
     equiv = F.nullif(F.regexp_extract(low, HTTP_EQUIV, 1), F.lit(""))
-    return F.coalesce(xml, meta, equiv, F.lit("utf-8"))
+    equiv_rev = F.nullif(F.regexp_extract(low, HTTP_EQUIV_REV, 1), F.lit(""))
+    return F.coalesce(xml, meta, equiv, equiv_rev, F.lit("utf-8"))
 
 
 def charset_report(
