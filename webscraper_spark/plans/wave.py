@@ -85,6 +85,19 @@ class CrawlConfig:
     # happens ~10x earlier (WS_BCAST_BATCH_MAX_BUCKETED overrides).
     corpus_bucketed: bool = False
     bucketed_broadcast_threshold: int = int(os.environ.get("WS_BCAST_BATCH_MAX_BUCKETED", 500_000))
+    # URL-quality hygiene applied to each wave's candidates BEFORE ranking
+    # (operators/urlfilter.py: blocklist / path-depth / param-count /
+    # digit-slug, first-failing-rule). A dropped URL never occupies a
+    # fetch slot, never enters the order table, and is dropped every wave
+    # it reappears (its verdict is a pure function of the URL). OFF by
+    # default: the crawl-order oracle (oracle/seq_oracle.py) models the
+    # reference, which fetches every harvested href
+    # (/root/reference/app/controllers/cars_controller.rb:137-142). The
+    # heavier hygiene stages (redirect resolution, canonical collapse,
+    # trap mining, backoff) run BETWEEN waves over crawl metadata via
+    # plans/hygiene.py — in-loop they would re-pay their joins per wave
+    # for inputs that only change per wave.
+    url_hygiene: bool = False
 
 
 def _parquet_rows(path: str) -> int:
@@ -346,6 +359,18 @@ def run_crawl(
 
         # 2. robots
         cand = apply_robots(cand, robots)
+
+        # 2b. optional URL hygiene (codegen-only; see CrawlConfig). The
+        # frontier `depth` travels as a temporary rename around
+        # url_filter's same-named path-depth feature column.
+        if cfg.url_hygiene:
+            from webscraper_spark.operators.urlfilter import url_filter
+
+            cand = (
+                url_filter(cand.withColumnRenamed("depth", "_fdepth"))
+                .filter(F.col("verdict").startswith("keep"))
+                .select("url", "host", F.col("_fdepth").alias("depth"), "disc_wave", "disc_pos")
+            )
 
         # 3. rank + budget + simulated politeness clock.
         # Persist the ranked schedule ONCE (memory, spill-to-disk): the
