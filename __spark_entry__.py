@@ -4370,6 +4370,114 @@ FROM agg a LEFT JOIN rc ON a.url = rc.url
 """
 
 
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive harvest from robots.txt (sitemaps.org
+    extension; RFC 9309 §2.2.4 'other records'): 25 hosts whose files
+    carry — by host index mod 4 — one plain directive, two directives in
+    mixed case (one pointing at a CDN host), a commented-out directive
+    (must NOT extract), or none. Flat codegen line harvest
+    (operators/robots_parse.py robots_sitemaps), feeding the sitemap
+    source (S11) and coverage audit (J5)."""
+    from webscraper_spark.operators.robots_parse import robots_sitemaps
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = F.col("doc_id") % 25
+    ns = n.cast("string")
+    m = n % 4
+    host = F.concat(F.lit("h"), ns, F.lit(".com"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.when(m == 0, F.concat(F.lit("Sitemap: https://h"), ns, F.lit(".com/sitemap.xml\n")))
+        .when(m == 1, F.concat(
+            F.lit("sitemap: https://h"), ns, F.lit(".com/sm/a.xml\n"),
+            F.lit("SITEMAP: https://cdn.ex/h"), ns, F.lit(".xml\n"),
+        ))
+        .when(m == 2, F.concat(F.lit("# Sitemap: https://h"), ns, F.lit(".com/commented.xml\n")))
+        .otherwise(F.lit("")),
+    )
+    files = d.select(host.alias("host"), txt.alias("robots_txt")).distinct()
+    return robots_sitemaps(files)
+
+
+_SQL_ROBOTS_SITEMAPS = r"""
+WITH f AS (
+  SELECT DISTINCT 'h' || (doc_id % 25)::VARCHAR || '.com' AS host,
+    'User-agent: *
+Disallow: /tmp
+' || CASE (doc_id % 25) % 4
+      WHEN 0 THEN 'Sitemap: https://h' || (doc_id % 25)::VARCHAR || '.com/sitemap.xml' || chr(10)
+      WHEN 1 THEN 'sitemap: https://h' || (doc_id % 25)::VARCHAR || '.com/sm/a.xml' || chr(10)
+               || 'SITEMAP: https://cdn.ex/h' || (doc_id % 25)::VARCHAR || '.xml' || chr(10)
+      WHEN 2 THEN '# Sitemap: https://h' || (doc_id % 25)::VARCHAR || '.com/commented.xml' || chr(10)
+      ELSE '' END AS robots_txt
+  FROM documents
+)
+SELECT host, unnest(regexp_extract_all(robots_txt,
+  '(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)', 1)) AS sitemap_url
+FROM f
+"""
+
+
+def _q_bom_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM-first charset sniffing (WHATWG stage 1, operators/charset.py
+    bom_charset/sniffed_charset): binary payloads built from hex — a
+    UTF-8 BOM that must BEAT a conflicting in-document declaration,
+    UTF-16 BE/LE BOMs, and BOM-less payloads that fall through to the
+    declared chain / the utf-8 default. Payloads via unhex on both
+    engines so the bytes are bit-identical."""
+    from webscraper_spark.operators.charset import sniffed_charset
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    m = F.col("doc_id") % 5
+    koi = '<meta charset="koi8-r">'
+    hexpay = (
+        F.when(m == 0, F.lit("EFBBBF" + koi.encode().hex().upper()))
+        .when(m == 1, F.lit("FEFF0041"))
+        .when(m == 2, F.lit("FFFE4100"))
+        .otherwise(F.lit("3C68746D6C3E"))  # '<html>'
+    )
+    html = (
+        F.when(m == 0, F.lit(koi))
+        .when(m == 3, F.lit('<meta charset="windows-1252">'))
+        .otherwise(F.lit("<html></html>"))
+    )
+    return d.select(
+        "doc_id",
+        sniffed_charset(F.unhex(hexpay), html).alias("charset"),
+    )
+
+
+def _sql_bom_charset() -> str:
+    koi_hex = '<meta charset="koi8-r">'.encode().hex().upper()
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'EFBBBF{koi_hex}'
+      WHEN 1 THEN 'FEFF0041'
+      WHEN 2 THEN 'FFFE4100'
+      ELSE '3C68746D6C3E' END AS hexpay,
+    lower(CASE doc_id % 5
+      WHEN 0 THEN '<meta charset="koi8-r">'
+      WHEN 3 THEN '<meta charset="windows-1252">'
+      ELSE '<html></html>' END) AS low
+  FROM documents
+),
+h AS (SELECT doc_id, hex(unhex(hexpay)) AS hx, low FROM p)
+SELECT doc_id,
+  coalesce(
+    CASE WHEN substr(hx, 1, 6) = 'EFBBBF' THEN 'utf-8'
+         WHEN substr(hx, 1, 4) = 'FEFF' THEN 'utf-16be'
+         WHEN substr(hx, 1, 4) = 'FFFE' THEN 'utf-16le' END,
+    nullif(regexp_extract(low, '<\\?xml[^>]*encoding=["'']([a-z0-9_.:-]+)["'']', 1), ''),
+    nullif(regexp_extract(low, '<meta(?:[^>"'']|"[^"]*"|''[^'']*'')*?\\scharset\\s*=\\s*["'']?([a-z0-9_.:-]+)', 1), ''),
+    nullif(regexp_extract(low, '<meta[^>]*http-equiv=["'']?content-type["'']?[^>]*charset=([a-z0-9_.:-]+)', 1), ''),
+    nullif(regexp_extract(low, '<meta[^>]*charset=([a-z0-9_.:-]+)[^>]*http-equiv=["'']?content-type', 1), ''),
+    'utf-8') AS charset
+FROM h
+"""
+
+
 def _q_crawl_wave_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hygiene-wave integration (plans/hygiene.py — the L40/L45/L35/L42/
     L46 family run as ONE frontier pass): 10-row blocks synthesize every
@@ -4565,6 +4673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "crawl_wave_hygiene": _q_crawl_wave_hygiene,
         "cms_topk_candidates": _q_cms_topk_candidates,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "bom_charset_sniff": _q_bom_charset,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4667,6 +4777,8 @@ def oracle_sql() -> dict[str, str]:
         # --- new in round 5 ---
         "crawl_wave_hygiene": _SQL_HYGIENE,
         "cms_topk_candidates": _sql_cms_topk_candidates(),
+        "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
+        "bom_charset_sniff": _sql_bom_charset(),
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,

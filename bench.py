@@ -616,9 +616,11 @@ def main() -> None:
         "lang_pivot", "script_detect", "canonical_collapse",
         "adaptive_backoff", "charset_sniff", "coverage_audit", "doc_chunking",
         "registered_domain", "hreflang_clusters",
-        # round 5: the hygiene-wave integration pass and the
-        # broadcast-only CMS point-query (explicit candidate list)
+        # round 5: the hygiene-wave integration pass, the broadcast-only
+        # CMS point-query (explicit candidate list), robots Sitemap:
+        # harvest, and BOM-first charset sniffing
         "crawl_wave_hygiene", "cms_topk_candidates",
+        "robots_sitemaps", "bom_charset_sniff",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

@@ -106,3 +106,28 @@ def test_charset_report_routing(spark):
     assert got[("a.ex", "utf-8")] == (1, False)
     assert got[("a.ex", "koi8-r")] == (2, True)
     assert got[("b.ex", "utf-8")] == (1, False)
+
+
+def test_bom_charset_precedence(spark):
+    """WHATWG stage 1: a BOM on the raw payload beats every in-document
+    declaration; BOM-less payloads fall through to the declared chain."""
+    from webscraper_spark.operators.charset import bom_charset, sniffed_charset
+
+    rows = [
+        (0, bytes.fromhex("EFBBBF") + b'<meta charset="koi8-r">', '<meta charset="koi8-r">'),
+        (1, bytes.fromhex("FEFF0041"), "<html></html>"),
+        (2, bytes.fromhex("FFFE4100"), "<html></html>"),
+        (3, b"<html>", '<meta charset="windows-1252">'),
+        (4, b"<html>", "<html></html>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, payload binary, html string")
+    got = {r["i"]: (r["b"], r["s"]) for r in df.select(
+        "i",
+        bom_charset(F.col("payload")).alias("b"),
+        sniffed_charset(F.col("payload"), F.col("html")).alias("s"),
+    ).collect()}
+    assert got[0] == ("utf-8", "utf-8")          # BOM beats declared koi8-r
+    assert got[1] == ("utf-16be", "utf-16be")
+    assert got[2] == ("utf-16le", "utf-16le")
+    assert got[3] == (None, "windows-1252")      # no BOM -> declared chain
+    assert got[4] == (None, "utf-8")             # no BOM, silent -> default

@@ -121,3 +121,27 @@ def test_cross_validated_against_urllib(spark):
                 expected[url] = rp.can_fetch("webscraper", url)
     got = _verdicts(spark, files, urls)
     assert got == expected
+
+
+def test_robots_sitemap_directives(spark):
+    """Sitemap: directives are harvested case-insensitively from anywhere
+    in the file (they live outside UA groups), commented lines are
+    skipped, and cross-host (CDN) sitemap URLs keep the declaring host."""
+    from webscraper_spark.operators.robots_parse import robots_sitemaps
+
+    files = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /x\nSitemap: https://a.com/s.xml\n"),
+            ("b.com", "sitemap: https://b.com/1.xml\nUser-agent: *\nAllow: /\nSITEMAP: https://cdn.ex/b.xml\n"),
+            ("c.com", "# Sitemap: https://c.com/commented.xml\nUser-agent: *\nDisallow:\n"),
+            ("d.com", "  Sitemap:\thttps://d.com/pad.xml # inline comment\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(files).collect()}
+    assert got == {
+        ("a.com", "https://a.com/s.xml"),
+        ("b.com", "https://b.com/1.xml"),
+        ("b.com", "https://cdn.ex/b.xml"),
+        ("d.com", "https://d.com/pad.xml"),
+    }

@@ -66,6 +66,31 @@ def declared_charset(html: Column) -> Column:
     return F.coalesce(xml, meta, equiv, equiv_rev, F.lit("utf-8"))
 
 
+def bom_charset(payload) -> Column:
+    """Charset from a byte-order mark on the RAW payload, null when none.
+
+    The WHATWG encoding sniffer's FIRST stage — a BOM overrides every
+    in-document declaration. Checked on the hex of the leading 3 bytes
+    (the mime.py pattern: never decode arbitrary bytes). UTF-32 BOMs
+    (FF FE 00 00 / 00 00 FE FF) are not distinguished — UTF-32 web
+    content is effectively nonexistent and WHATWG's own sniffer also
+    maps FF FE to UTF-16LE."""
+    col = payload if isinstance(payload, Column) else F.col(payload)
+    hx = F.hex(F.substring(col, 1, 3))
+    return (
+        F.when(F.substring(hx, 1, 6) == "EFBBBF", F.lit("utf-8"))
+        .when(F.substring(hx, 1, 4) == "FEFF", F.lit("utf-16be"))
+        .when(F.substring(hx, 1, 4) == "FFFE", F.lit("utf-16le"))
+    )
+
+
+def sniffed_charset(payload, html: Column) -> Column:
+    """Full sniff over (raw payload, decoded html): BOM first (WHATWG
+    precedence), then the in-document declaration chain, then the HTML5
+    utf-8 default (via declared_charset)."""
+    return F.coalesce(bom_charset(payload), declared_charset(html))
+
+
 def charset_report(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -190,3 +190,31 @@ def robots_allowed(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> D
             F.when(F.col("hit"), F.col("pattern")).alias("matched_pattern"),
         )
     )
+
+
+# Sitemap discovery: the sitemaps.org cross-protocol extension that RFC
+# 9309 §2.2.4 admits as an "other record". Directives live OUTSIDE
+# user-agent groups, apply regardless of UA, and a file may carry any
+# number of them — so extraction is a flat line harvest, not part of the
+# group state machine above. Key is case-insensitive; a leading '#'
+# comments the whole line out.
+SITEMAP_LINE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def robots_sitemaps(
+    robots_files: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) per Sitemap: directive in each robots.txt.
+
+    One codegen regexp_extract_all + explode — no shuffle beyond the
+    caller's; the result feeds the sitemap XML source (S11 in SURVEY §2)
+    and the sitemap-vs-crawl coverage audit (J5). Sitemap URLs are
+    absolute by spec and may legitimately live on a DIFFERENT host (CDN
+    sitemaps) — the declaring host is kept alongside for exactly that
+    reason. Inline trailing comments are excluded by the \\S+ capture
+    (a URL never contains whitespace); full-line comments never match
+    because '#' cannot precede the key."""
+    tags = F.regexp_extract_all(F.col(txt_col), F.lit(SITEMAP_LINE), 1)
+    return robots_files.select(
+        F.col(host_col).alias("host"), F.explode(tags).alias("sitemap_url")
+    )
