@@ -107,3 +107,43 @@ def test_stream_seen_dedup_across_microbatches(spark, tmp_path_factory):
     # 4 input rows -> 3 distinct canonical urls; the /p variant deduped
     assert len(urls) == 3
     assert sum("/p" in u for u in urls) == 1
+
+
+def test_stream_adaptive_backoff_streak_across_microbatches(spark, tmp_path_factory):
+    """AIMD streak survives the micro-batch boundary: host A ends batch 1
+    with streak 1 (wave 1 throttled), batch 2's throttled wave 2 must
+    continue it to 2 (delay 400), then a clean wave 3 resets to base.
+    Host B stays clean throughout -> always streak 0 / 100ms."""
+    from webscraper_spark.streaming.stream import stream_adaptive_backoff
+
+    d = str(tmp_path_factory.mktemp("backoff_stream"))
+    schema = "host string, wave long, status string"
+    b1 = spark.createDataFrame(
+        [("A", 0, "ok"), ("A", 0, "ok"),
+         ("A", 1, "429"), ("A", 1, "429"), ("A", 1, "ok"),
+         ("B", 0, "ok"), ("B", 1, "ok")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/*")
+    out = stream_adaptive_backoff(src)
+    q = out.writeStream.outputMode("append").format("memory").queryName("backoff").start()
+    q.processAllAvailable()
+    b2 = spark.createDataFrame(
+        [("A", 2, "timeout"), ("A", 2, "503"),
+         ("A", 3, "ok"), ("A", 3, "ok"),
+         ("B", 2, "ok")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.host, r.wave): (r.throttle_streak, r.delay_ms)
+           for r in spark.sql("SELECT * FROM backoff").collect()}
+    assert got[("A", 0)] == (0, 100)
+    assert got[("A", 1)] == (1, 200)    # 2/3 throttled >= 10%
+    assert got[("A", 2)] == (2, 400)    # streak carried across the batch boundary
+    assert got[("A", 3)] == (0, 100)    # clean wave resets immediately
+    assert all(got[("B", w)] == (0, 100) for w in (0, 1, 2))

@@ -84,6 +84,53 @@ def stateful_politeness(candidates: DataFrame) -> DataFrame:
     )
 
 
+_BACKOFF_OUT_SCHEMA = "host string, wave long, throttle_streak int, delay_ms long"
+_BACKOFF_STATE_SCHEMA = "streak int"
+_THROTTLE_STATUSES = ("429", "503", "timeout")
+
+
+def _backoff_fn(key: tuple, pdfs: Any, state: GroupState):
+    """Per-host AIMD fold: each wave in the micro-batch either extends the
+    throttle streak (>=10% throttle statuses) or resets it to 0; the
+    streak survives micro-batch boundaries in GroupState."""
+    (host,) = key
+    streak = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdfs:
+        for wave, grp in sorted(pdf.groupby("wave")):
+            n = len(grp)
+            n_thr = int(grp["status"].isin(_THROTTLE_STATUSES).sum())
+            streak = streak + 1 if n_thr * 10 >= n * 1 else 0
+            rows.append((host, int(wave), streak, 100 << min(streak, 6)))
+    state.update((streak,))
+    yield pd.DataFrame(rows, columns=["host", "wave", "throttle_streak", "delay_ms"])
+
+
+def stream_adaptive_backoff(outcomes: DataFrame) -> DataFrame:
+    """Streaming form of operators/backoff.adaptive_backoff (ST8 as true
+    streaming state): outcomes is a streaming DF (host, wave, status);
+    output one row per (host, wave) with the running throttle streak and
+    the shifted delay, the streak carried across micro-batches in
+    GroupState.
+
+    Semantics vs the batch operator: identical when each host's waves are
+    consecutive and each wave arrives whole in one micro-batch (the crawl
+    loop's shape — a wave IS the micro-batch). The batch form infers the
+    streak from (latest_wave - last_clean) over the whole history; the
+    streaming form folds it forward, which is what bounded state allows —
+    per-host state is ONE integer however long the stream runs."""
+    return (
+        outcomes.groupBy("host")
+        .applyInPandasWithState(
+            _backoff_fn,
+            outputStructType=_BACKOFF_OUT_SCHEMA,
+            stateStructType=_BACKOFF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DF to completion over the currently-available input
     (batch-like smoke harness for tests)."""
