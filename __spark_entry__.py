@@ -4370,6 +4370,68 @@ FROM agg a LEFT JOIN rc ON a.url = rc.url
 """
 
 
+def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter stripping (functions/canon.py
+    strip_tracking_params — the canonicalization that urlfilter's
+    'keep:strip_tracking' verdict calls for): six URL shapes per block —
+    no query, all-tracking query (the '?' must disappear), tracking
+    mixed before/after real params (survivor order preserved), a clean
+    query (untouched), and a tracking query with a fragment (fragment
+    preserved verbatim). Whole expression is JVM-side higher-order
+    filter + array_join; the oracle replays it with list_filter."""
+    from webscraper_spark.functions.canon import strip_tracking_params
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m = i % 6
+    base = F.concat(F.lit("https://h"), (i % 7).cast("string"), F.lit(".ex/p/a"), i.cast("string"))
+    url = (
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(base, F.lit("?utm_source=news&utm_medium=mail")))
+        .when(m == 2, F.concat(base, F.lit("?id="), i.cast("string"), F.lit("&utm_campaign=x")))
+        .when(m == 3, F.concat(base, F.lit("?utm_content=a&page=2&gclid=xyz")))
+        .when(m == 4, F.concat(base, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(base, F.lit("?fbclid=1#sec")))
+    )
+    return d.select("doc_id", url.alias("url"), strip_tracking_params(url).alias("stripped"))
+
+
+_SQL_STRIP_TRACKING = r"""
+WITH u AS (
+  SELECT doc_id,
+    'https://h' || (doc_id % 7)::VARCHAR || '.ex/p/a' || doc_id::VARCHAR AS b,
+    doc_id % 6 AS m
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+    CASE m WHEN 0 THEN b
+           WHEN 1 THEN b || '?utm_source=news&utm_medium=mail'
+           WHEN 2 THEN b || '?id=' || doc_id::VARCHAR || '&utm_campaign=x'
+           WHEN 3 THEN b || '?utm_content=a&page=2&gclid=xyz'
+           WHEN 4 THEN b || '?a=1&b=2'
+           ELSE b || '?fbclid=1#sec' END AS url
+  FROM u
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^([^?#]*)', 1) AS base,
+    regexp_extract(url, '\?([^#]*)', 1) AS q,
+    regexp_extract(url, '(#.*)$', 1) AS frag
+  FROM w
+),
+s AS (
+  SELECT doc_id, url, base, q, frag,
+    array_to_string(list_filter(string_split(q, '&'),
+      x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=')), '&') AS newq
+  FROM parts
+)
+SELECT doc_id, url,
+  base || CASE WHEN q <> '' AND newq <> '' THEN '?' || newq ELSE '' END || frag AS stripped
+FROM s
+"""
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive harvest from robots.txt (sitemaps.org
     extension; RFC 9309 §2.2.4 'other records'): 25 hosts whose files
@@ -4675,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_candidates": _q_cms_topk_candidates,
         "robots_sitemaps": _q_robots_sitemaps,
         "bom_charset_sniff": _q_bom_charset,
+        "strip_tracking": _q_strip_tracking,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4779,6 +4842,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk_candidates": _sql_cms_topk_candidates(),
         "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
         "bom_charset_sniff": _sql_bom_charset(),
+        "strip_tracking": _SQL_STRIP_TRACKING,
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,
