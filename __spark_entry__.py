@@ -4546,12 +4546,13 @@ def _q_crawl_wave_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene case — a canonical article, a 2-hop redirect alias into it, a
     ?ref= canonical variant of it, a blocklisted URL, a 10-deep path, a
     calendar-trap URL (2 digit slots, dense per-host), a tracking-param
-    variant (kept + flagged), a redirect 2-cycle (dropped), a 7-param
-    URL, and a URL on a throttling host. The pipeline resolves redirects
-    (pointer jumping), collapses canonicals, dedups to the minimal
-    discovery record, applies the URL-quality verdict, masks trap
-    templates, and schedules per-host FIFO with AIMD-backoff-fed delays
-    (slow.ex throttled 2 waves -> 100<<2 = 400ms; clean hosts 100ms)."""
+    variant (STRIPPED into the article's cluster), a redirect 2-cycle
+    (dropped), a 7-param URL, and a URL on a throttling host. The
+    pipeline resolves redirects (pointer jumping), collapses canonicals,
+    strips tracking params, dedups to the minimal discovery record,
+    applies the URL-quality verdict, masks trap templates, and schedules
+    per-host FIFO with AIMD-backoff-fed delays (slow.ex throttled 2
+    waves -> 100<<2 = 400ms; clean hosts 100ms)."""
     from webscraper_spark.plans.hygiene import hygiene_frontier
 
     d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
@@ -4643,9 +4644,10 @@ cand AS (
       ELSE 'https://slow.ex/item-' || i::VARCHAR || '-x' END AS url
   FROM base),
 -- stage 1+2: m=1 is an exact 2-hop redirect chain into art (resolved);
--- m=7 is a redirect 2-cycle (dropped); m=2 declares art as canonical
+-- m=7 is a redirect 2-cycle (dropped); m=2 declares art as canonical;
+-- m=6 is art?utm_source=x, collapsed by tracking-param stripping
 resolved AS (
-  SELECT i, CASE WHEN m IN (1, 2) THEN art ELSE url END AS url
+  SELECT i, CASE WHEN m IN (1, 2, 6) THEN art ELSE url END AS url
   FROM cand WHERE m <> 7),
 -- stage 3: dedup by final url, minimal discovery record (disc_pos = i)
 dedup AS (

@@ -80,10 +80,16 @@ def test_hygiene_trap_masking_and_tracking_flag(spark):
     out = hygiene_frontier(cand, trap_min_urls=10).collect()
     assert len(out) == 1
     r = out[0]
-    assert r["url"] == "https://t.ex/about-us?utm_source=mail"
-    # tracking params are kept but flagged for canonicalization
-    assert r["verdict"] == "keep:strip_tracking"
+    # tracking params stripped during canonicalization (default)
+    assert r["url"] == "https://t.ex/about-us"
+    assert r["verdict"] == "keep"
     assert r["rank"] == 1 and r["delay_ms"] == 100
+    # with stripping off the URL survives verbatim, flagged for later
+    out2 = hygiene_frontier(cand, trap_min_urls=10, strip_tracking=False).collect()
+    keep2 = [r for r in out2 if r["host"] == "t.ex" and "about-us" in r["url"]]
+    assert len(keep2) == 1
+    assert keep2[0]["url"] == "https://t.ex/about-us?utm_source=mail"
+    assert keep2[0]["verdict"] == "keep:strip_tracking"
 
 
 def test_hygiene_without_optional_inputs_is_filter_plus_schedule(spark):

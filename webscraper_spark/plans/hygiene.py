@@ -22,7 +22,9 @@ Stage order (each stage's reason to precede the next is stated):
      on the URL the fetcher would actually land on.
   2. canonical collapse (operators/canonical.py mapping) — declared
      rel=canonical targets collapse query-string/mirror variants BEFORE
-     dedup, so 100 tracking variants cost one slot (RFC 6596).
+     dedup, so 100 tracking variants cost one slot (RFC 6596); then
+     tracking-parameter stripping (functions/canon.py, on by default)
+     collapses the utm-variants no canonical annotation covers.
   3. dedup by final URL keeping the minimal (depth, disc_wave,
      disc_pos) discovery record — same merge rule as
      plans/wave.py expand_outlinks, so hygiene preserves the crawl-order
@@ -71,6 +73,7 @@ def hygiene_frontier(
     base_delay_ms: int = 100,
     trap_min_urls: int = 100,
     max_hops: int = 16,
+    strip_tracking: bool = True,
 ) -> DataFrame:
     """Run the hygiene pass over frontier candidates and schedule them.
 
@@ -81,12 +84,17 @@ def hygiene_frontier(
       with operators/canonical.canonical_of over fetched pages), or None.
     outcomes: (host, wave, status) recent fetch outcomes for the AIMD
       delay table, or None for flat base_delay_ms.
+    strip_tracking: remove tracking query params (functions/canon.py
+      strip_tracking_params) BEFORE dedup, so the 100 utm-variants of
+      one article collapse into its fetch slot; with False they stay
+      distinct and surface as 'keep:strip_tracking' verdicts instead.
 
     Returns (url, host, depth, disc_wave, disc_pos, verdict, rank,
     delay_ms, sched_ms): the per-host-FIFO schedule of the surviving
-    candidates. verdict is 'keep' or 'keep:strip_tracking' (drop rows are
-    gone). When redirect_edges is given, the result carries a
-    `_redir_cache` release handle (the repo-wide `*_cache` convention).
+    candidates. verdict is 'keep' (or 'keep:strip_tracking' when
+    strip_tracking=False left params in place); drop rows are gone.
+    When redirect_edges is given, the result carries a `_redir_cache`
+    release handle (the repo-wide `*_cache` convention).
     """
     out = cand.select("url", "host", "depth", "disc_wave", "disc_pos")
     redir_cache = None
@@ -109,6 +117,10 @@ def hygiene_frontier(
             .withColumn("url", F.coalesce(F.col("canonical"), F.col("url")))
             .drop("canonical")
         )
+    if strip_tracking:
+        from webscraper_spark.functions.canon import strip_tracking_params
+
+        out = out.withColumn("url", strip_tracking_params(F.col("url")))
     # Rewrites may have moved a candidate across hosts (cross-host
     # canonical/redirect): recompute, then dedup by final URL with the
     # expand_outlinks merge rule (min discovery record -> deterministic).
