@@ -4370,6 +4370,79 @@ FROM agg a LEFT JOIN rc ON a.url = rc.url
 """
 
 
+def _q_stream_backoff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming AIMD backoff driven end-to-end through a real
+    stream (streaming/stream.py stream_adaptive_backoff,
+    applyInPandasWithState): the adaptive-backoff outcome synthesis is
+    written to parquet, read back with readStream, folded per host in
+    GroupState, and the memory-sink result returned as a batch DF. The
+    oracle replays the sequential fold with a running-max window (streak
+    at wave w = w minus the latest clean wave <= w) — a FULL value
+    oracle for a streaming stateful operator, possible because the fold
+    is deterministic given all waves (cross-micro-batch state carry is
+    pinned by tests/test_streaming.py)."""
+    import tempfile
+
+    from webscraper_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_adaptive_backoff,
+    )
+
+    d = spark.read.parquet(_t(sf_dir, "events")).select("event_id")
+    i = F.col("event_id").cast("long")
+    oh = i % 6
+    outcomes = d.select(
+        F.concat(F.lit("sh"), oh.cast("string"), F.lit(".ex")).alias("host"),
+        (F.expr("event_id div 6") % 4).cast("long").alias("wave"),
+        F.when((oh % 3 == 0) & (F.expr("event_id div 6") % 4 >= oh % 4) & (i % 5 != 0), F.lit("429"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ws_stream_backoff_")
+    outcomes.write.mode("overwrite").parquet(tmp)
+    src = spark.readStream.schema("host string, wave long, status string").parquet(tmp)
+    # unique sink name per invocation: bench/the driver run queries twice
+    # in one session, and a stopped memory query's table lingers
+    _q_stream_backoff_replay._n += 1  # type: ignore[attr-defined]
+    name = f"stream_backoff_replay_{_q_stream_backoff_replay._n}"  # type: ignore[attr-defined]
+    run_stream_to_memory(stream_adaptive_backoff(src), name)
+    return spark.sql(f"SELECT host, wave, throttle_streak, delay_ms FROM {name}")
+
+
+_q_stream_backoff_replay._n = 0  # type: ignore[attr-defined]
+
+
+_SQL_STREAM_BACKOFF = r"""
+WITH o AS (
+  SELECT 'sh' || (event_id % 6)::VARCHAR || '.ex' AS host,
+         ((event_id // 6) % 4)::BIGINT AS wave,
+         CASE WHEN (event_id % 6) % 3 = 0
+                   AND ((event_id // 6) % 4) >= (event_id % 6) % 4
+                   AND event_id % 5 <> 0
+              THEN '429' ELSE 'ok' END AS status
+  FROM events
+),
+tw AS (
+  SELECT host, wave,
+         (sum(CASE WHEN status IN ('429', '503', 'timeout') THEN 1 ELSE 0 END) * 10
+            >= count(*) * 1) AS thr
+  FROM o GROUP BY host, wave
+),
+st AS (
+  SELECT host, wave, thr,
+         max(CASE WHEN NOT thr THEN wave END)
+           OVER (PARTITION BY host ORDER BY wave
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_clean,
+         min(wave) OVER (PARTITION BY host) AS first_wave
+  FROM tw
+)
+SELECT host, wave,
+       (wave - coalesce(last_clean, first_wave - 1))::INT AS throttle_streak,
+       (100 * (1 << least(wave - coalesce(last_clean, first_wave - 1), 6)))::BIGINT AS delay_ms
+FROM st
+"""
+
+
 def _q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter stripping (functions/canon.py
     strip_tracking_params — the canonicalization that urlfilter's
@@ -4740,6 +4813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "bom_charset_sniff": _q_bom_charset,
         "strip_tracking": _q_strip_tracking,
+        "stream_backoff_replay": _q_stream_backoff_replay,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4845,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _SQL_ROBOTS_SITEMAPS,
         "bom_charset_sniff": _sql_bom_charset(),
         "strip_tracking": _SQL_STRIP_TRACKING,
+        "stream_backoff_replay": _SQL_STREAM_BACKOFF,
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,

@@ -624,6 +624,9 @@ def main() -> None:
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.
+        # stream_backoff_replay deliberately absent: it measures stream
+        # machinery setup (temp write + query start/stop), not operator
+        # throughput; adaptive_backoff is the benchmarked batch form.
         # ngram_jaccard_pairs deliberately absent: it's the exact
         # small-scale verification variant (the synthetic corpus's 31-word
         # vocab makes shingles collide heavily); minhash_lsh_pairs is the

@@ -92,16 +92,20 @@ _THROTTLE_STATUSES = ("429", "503", "timeout")
 def _backoff_fn(key: tuple, pdfs: Any, state: GroupState):
     """Per-host AIMD fold: each wave in the micro-batch either extends the
     throttle streak (>=10% throttle statuses) or resets it to 0; the
-    streak survives micro-batch boundaries in GroupState."""
+    streak survives micro-batch boundaries in GroupState.
+
+    `pdfs` is an iterator of Arrow CHUNKS of the host's batch data — one
+    wave can span chunks, so the chunks are concatenated before the fold
+    (a per-chunk fold double-counted split waves)."""
     (host,) = key
     streak = state.get[0] if state.exists else 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
     rows = []
-    for pdf in pdfs:
-        for wave, grp in sorted(pdf.groupby("wave")):
-            n = len(grp)
-            n_thr = int(grp["status"].isin(_THROTTLE_STATUSES).sum())
-            streak = streak + 1 if n_thr * 10 >= n * 1 else 0
-            rows.append((host, int(wave), streak, 100 << min(streak, 6)))
+    for wave, grp in sorted(pdf.groupby("wave")):
+        n = len(grp)
+        n_thr = int(grp["status"].isin(_THROTTLE_STATUSES).sum())
+        streak = streak + 1 if n_thr * 10 >= n * 1 else 0
+        rows.append((host, int(wave), streak, 100 << min(streak, 6)))
     state.update((streak,))
     yield pd.DataFrame(rows, columns=["host", "wave", "throttle_streak", "delay_ms"])
 
