@@ -4370,6 +4370,64 @@ FROM agg a LEFT JOIN rc ON a.url = rc.url
 """
 
 
+def _q_sitemap_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol recrawl classification (operators/sitemap.py
+    sitemap_refetch — the publisher-hint half of recrawl scheduling,
+    complementing freshness.py's statistics half): entries planted with
+    every state — lastmod after the fetch (stale), lastmod before it
+    (fresh), elapsed daily changefreq (due), yearly/absent/'never'
+    changefreq (fresh), 'always' (due), and a never-crawled entry
+    (uncrawled). Fixed as_of instant, all-integer millis comparisons."""
+    from webscraper_spark.operators.sitemap import sitemap_refetch
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    m = i % 8
+    host = F.concat(F.lit("sm"), (i % 4).cast("string"), F.lit(".ex"))
+    loc = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+    lastmod = (
+        F.when(m == 0, F.lit("2026-03-10 00:00:00"))
+        .when(m == 1, F.lit("2026-03-01 00:00:00"))
+        .cast("timestamp")
+    )
+    changefreq = (
+        F.when(m == 2, F.lit("daily"))
+        .when(m == 3, F.lit("yearly"))
+        .when(m == 6, F.lit("always"))
+        .when(m == 7, F.lit("never"))
+    )
+    priority = F.when(m == 0, F.lit(0.9)).when(m == 3, F.lit(0.2))
+    entries = d.select(
+        host.alias("host"), loc.alias("loc"), lastmod.alias("lastmod"),
+        changefreq.alias("changefreq"), priority.alias("priority"),
+    )
+    crawled = d.filter(m != 5).select(
+        loc.alias("url"),
+        F.lit("2026-03-05 00:00:00").cast("timestamp").alias("fetched_ts"),
+    )
+    return sitemap_refetch(entries, crawled, as_of="2026-03-20 00:00:00")
+
+
+_SQL_SITEMAP_REFETCH = r"""
+WITH e AS (
+  SELECT doc_id AS i, doc_id % 8 AS m,
+    'sm' || (doc_id % 4)::VARCHAR || '.ex' AS host,
+    'https://sm' || (doc_id % 4)::VARCHAR || '.ex/p/' || doc_id::VARCHAR AS loc
+  FROM documents
+)
+SELECT loc, host,
+  CASE WHEN m = 5 THEN 'uncrawled'
+       WHEN m = 0 THEN 'stale'
+       WHEN m IN (2, 6) THEN 'due'
+       ELSE 'fresh' END AS state,
+  CASE m WHEN 0 THEN TIMESTAMP '2026-03-10 00:00:00'
+         WHEN 1 THEN TIMESTAMP '2026-03-01 00:00:00' END AS lastmod,
+  CASE WHEN m <> 5 THEN TIMESTAMP '2026-03-05 00:00:00' END AS fetched_ts,
+  CASE m WHEN 0 THEN 0.9 WHEN 3 THEN 0.2 ELSE 0.5 END AS priority
+FROM e
+"""
+
+
 def _q_stream_backoff_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming AIMD backoff driven end-to-end through a real
     stream (streaming/stream.py stream_adaptive_backoff,
@@ -4814,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bom_charset_sniff": _q_bom_charset,
         "strip_tracking": _q_strip_tracking,
         "stream_backoff_replay": _q_stream_backoff_replay,
+        "sitemap_refetch": _q_sitemap_refetch,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4920,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
         "bom_charset_sniff": _sql_bom_charset(),
         "strip_tracking": _SQL_STRIP_TRACKING,
         "stream_backoff_replay": _SQL_STREAM_BACKOFF,
+        "sitemap_refetch": _SQL_SITEMAP_REFETCH,
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,

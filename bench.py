@@ -621,6 +621,7 @@ def main() -> None:
         # harvest, and BOM-first charset sniffing
         "crawl_wave_hygiene", "cms_topk_candidates",
         "robots_sitemaps", "bom_charset_sniff", "strip_tracking",
+        "sitemap_refetch",
         # hits_scores deliberately absent: its 16 per-iteration driver
         # actions make it a latency query, not a throughput query —
         # pagerank is the benchmarked graph-family representative.

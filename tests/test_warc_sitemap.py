@@ -147,3 +147,42 @@ def test_parse_feed_malformed_yields_no_rows(spark):
         "host string, feed_xml string",
     )
     assert parse_feed(df).count() == 0
+
+
+def test_sitemap_refetch_states(spark):
+    """Publisher-hint recrawl classification: lastmod evidence beats
+    changefreq, uncrawled beats everything, intervals are integer-exact."""
+    from webscraper_spark.operators.sitemap import sitemap_refetch
+
+    entries = spark.createDataFrame(
+        [
+            ("h.ex", "https://h.ex/stale", "2026-03-10 00:00:00", None, 0.9),
+            ("h.ex", "https://h.ex/old-mod", "2026-03-01 00:00:00", "daily", None),
+            ("h.ex", "https://h.ex/due", None, "daily", None),
+            ("h.ex", "https://h.ex/not-due", None, "yearly", None),
+            ("h.ex", "https://h.ex/no-hints", None, None, None),
+            ("h.ex", "https://h.ex/gap", None, "hourly", None),
+            ("h.ex", "https://h.ex/always", None, "always", None),
+            ("h.ex", "https://h.ex/never", None, "never", None),
+        ],
+        "host string, loc string, lastmod string, changefreq string, priority double",
+    ).withColumn("lastmod", F.col("lastmod").cast("timestamp"))
+    crawled = spark.createDataFrame(
+        [(u, "2026-03-05 00:00:00") for u in
+         ("https://h.ex/stale", "https://h.ex/old-mod", "https://h.ex/due",
+          "https://h.ex/not-due", "https://h.ex/no-hints", "https://h.ex/always",
+          "https://h.ex/never")],
+        "url string, fetched_ts string",
+    ).withColumn("fetched_ts", F.col("fetched_ts").cast("timestamp"))
+    got = {r["loc"]: (r["state"], r["priority"]) for r in
+           sitemap_refetch(entries, crawled, as_of="2026-03-20 00:00:00").collect()}
+    assert got["https://h.ex/stale"] == ("stale", 0.9)
+    # lastmod BEFORE the fetch: hard freshness evidence beats the elapsed
+    # daily interval (first-match-wins is deliberate)
+    assert got["https://h.ex/old-mod"] == ("fresh", 0.5)
+    assert got["https://h.ex/due"] == ("due", 0.5)
+    assert got["https://h.ex/not-due"] == ("fresh", 0.5)
+    assert got["https://h.ex/no-hints"] == ("fresh", 0.5)
+    assert got["https://h.ex/gap"] == ("uncrawled", 0.5)
+    assert got["https://h.ex/always"] == ("due", 0.5)
+    assert got["https://h.ex/never"] == ("fresh", 0.5)

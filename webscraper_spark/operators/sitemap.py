@@ -100,3 +100,72 @@ def sitemap_frontier_candidates(
         F.desc("priority"), F.desc_nulls_last("lastmod"), F.asc("url")
     )
     return cand.withColumn("host_rank", F.row_number().over(w))
+
+
+# sitemaps.org <changefreq> values as refresh intervals (ms). 'always'
+# means every visit; 'never' means archival (still re-checked on lastmod
+# evidence, per the spec's own caveat that crawlers may ignore hints).
+CHANGEFREQ_MS = {
+    "always": 0,
+    "hourly": 3_600_000,
+    "daily": 86_400_000,
+    "weekly": 604_800_000,
+    "monthly": 2_592_000_000,
+    "yearly": 31_536_000_000,
+}
+
+
+def sitemap_refetch(
+    entries: DataFrame, crawled: DataFrame, as_of: str
+) -> DataFrame:
+    """Classify sitemap entries against the crawl record into refetch
+    states — the Sitemaps-protocol-driven half of recrawl scheduling
+    (the statistics-driven half is freshness.py recrawl_priority; a real
+    scheduler unions both, publisher hints first since they are free).
+
+    entries: parse_sitemap output (host, loc, lastmod, changefreq,
+      priority, ...). crawled: (url, fetched_ts) last-success record.
+    as_of: the decision instant as a timestamp string — EXPLICIT, never
+      wall clock, so runs replay bit-identically.
+
+    States, first match wins:
+      uncrawled — no crawl row: a coverage gap (J5's 'gap' bucket), top
+        priority;
+      stale     — publisher said the page changed after we fetched it
+        (lastmod > fetched_ts): hard evidence, refetch;
+      due       — no usable lastmod but changefreq's interval has
+        elapsed since the fetch: soft evidence;
+      fresh     — everything else ('never' included).
+
+    All-integer (unix millis) comparisons; one left join, entry-table
+    sized — the crawl record side is the big one and arrives pre-keyed
+    by url, so at scale this is the thin-side broadcast/bucket join the
+    seen-set already does."""
+    iv = F.create_map(
+        *[F.lit(x) for kv in CHANGEFREQ_MS.items() for x in kv]
+    )[F.col("changefreq")]
+    j = entries.join(
+        crawled.select(F.col("url").alias("loc"), "fetched_ts"), "loc", "left"
+    )
+    lastmod_ms = F.unix_millis(F.col("lastmod"))
+    fetched_ms = F.unix_millis(F.col("fetched_ts"))
+    asof_ms = F.unix_millis(F.lit(as_of).cast("timestamp"))
+    state = (
+        F.when(F.col("fetched_ts").isNull(), F.lit("uncrawled"))
+        .when(F.col("lastmod").isNotNull() & (lastmod_ms > fetched_ms), F.lit("stale"))
+        # a lastmod OLDER than the fetch is hard not-changed evidence and
+        # suppresses the weaker changefreq hint (docstring contract)
+        .when(
+            F.col("lastmod").isNull() & iv.isNotNull() & (fetched_ms + iv <= asof_ms),
+            F.lit("due"),
+        )
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "loc",
+        "host",
+        state.alias("state"),
+        "lastmod",
+        "fetched_ts",
+        F.coalesce(F.col("priority"), F.lit(0.5)).alias("priority"),
+    )
