@@ -2233,6 +2233,81 @@ def _sql_pagerank(n_iter: int = 8, scale: int = 10**12, d_num: int = 85, d_den: 
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{n_iter}"
 
 
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.py trustrank_fixed_point — Gyongyi &
+    Garcia-Molina's seeded-teleport PageRank, the global spam-demotion
+    signal whose local approximation is host_spam): the SAME synthetic
+    outlink graph as the pagerank query, trusted seeds = every 17th
+    document, 8 fixed-point integer iterations replayed by the oracle as
+    8 chained CTEs with the seed CASE in place of the uniform base."""
+    from webscraper_spark.operators.graph import trustrank_fixed_point
+
+    d = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    h60(
+                        F.concat(
+                            F.lit("edge:"), F.col("doc_id").cast("string"), F.lit(f":{i}")
+                        )
+                    )
+                    % F.lit(n)
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    seeds = d.filter(F.col("doc_id") % 17 == 0).select(F.col("doc_id").alias("node"))
+    return trustrank_fixed_point(edges, seeds, n_iter=8)
+
+
+def _sql_trustrank(n_iter: int = 8, scale: int = 10**12, d_num: int = 85, d_den: int = 100) -> str:
+    """Independent DuckDB replay of trustrank: pagerank's unrolled chain
+    with the seed-restricted base/init (seed set = doc_id % 17 == 0)."""
+    hashes = ", ".join(
+        "(" + _sql_h60("'edge:' || CAST(doc_id AS VARCHAR) || ':%d'" % i) + ")"
+        for i in (1, 2, 3)
+    )
+    parts = [
+        "nd AS (SELECT max(doc_id) + 1 AS n FROM documents)",
+        f"""edges AS (
+  SELECT doc_id AS src, h % (SELECT n FROM nd) AS dst
+  FROM documents, unnest([{hashes}]) AS u(h)
+)""",
+        "seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 17 = 0)",
+        "scnt AS (SELECT count(*)::BIGINT AS n_seeds FROM seeds)",
+        """nodes AS (
+  SELECT node, max(s)::BIGINT AS seed FROM (
+    SELECT src AS node, 0 AS s FROM edges
+    UNION ALL SELECT dst, 0 FROM edges
+    UNION ALL SELECT node, 1 FROM seeds
+  ) GROUP BY node
+)""",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, (seed * ({scale} // n_seeds))::BIGINT AS rank FROM nodes, scnt)",
+    ]
+    base_seed = f"((({d_den - d_num} * {scale}) // {d_den}) // n_seeds)"
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS c
+  FROM edges e JOIN r{k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n.node,
+         (n.seed * {base_seed} + ({d_num} * coalesce(s.c, 0)) // {d_den})::BIGINT AS rank
+  FROM nodes n LEFT JOIN s{k} s ON n.node = s.node, scnt
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{n_iter}"
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality sketch (L30 in SURVEY §2.10): distinct-text count
     of the documents table with 1024 integer-exact registers
@@ -4873,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_tracking": _q_strip_tracking,
         "stream_backoff_replay": _q_stream_backoff_replay,
         "sitemap_refetch": _q_sitemap_refetch,
+        "trustrank": _q_trustrank,
         # --- never driver-oracled before round 5 (judge-verified r4) ---
         "neardup_clusters": _q_neardup_clusters,
         "repetition_metrics": _q_repetition_metrics,
@@ -4980,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_tracking": _SQL_STRIP_TRACKING,
         "stream_backoff_replay": _SQL_STREAM_BACKOFF,
         "sitemap_refetch": _SQL_SITEMAP_REFETCH,
+        "trustrank": _sql_trustrank(),
         # --- never driver-oracled before round 5 ---
         "neardup_clusters": _sql_neardup_clusters(),
         "repetition_metrics": _SQL_REPETITION,

@@ -309,3 +309,25 @@ def test_host_spam_threshold_cross_multiplication(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["host"]: r["is_farm"] for r in host_spam_score(df, min_out=4).collect()}
     assert got["x"] is True
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    """Trust teleports only to seeds: a page endorsed by the seed
+    outranks a page endorsed by an equally-linked non-seed, and an
+    isolated spam clique with no seed-reachable in-links gets only
+    damped leakage (zero teleport mass)."""
+    from webscraper_spark.operators.graph import trustrank_fixed_point
+
+    # seed 0 -> 1; non-seed 2 -> 3; spam clique 4 <-> 5
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (5, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = trustrank_fixed_point(edges, seeds, n_iter=8)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    out._rank_cache.unpersist()
+    out._nodes_cache.unpersist()
+    assert got[0] > 0                      # seed keeps teleport mass
+    assert got[1] > got[3]                 # seed-endorsed beats junk-endorsed
+    assert got[3] == 0 and got[2] == 0     # no seed path -> zero trust
+    assert got[4] == 0 and got[5] == 0     # spam clique self-links earn nothing

@@ -322,3 +322,75 @@ def host_spam_score(
         (F.col("out_deg") >= min_out)
         & (F.col("recip_out") * recip_den >= F.col("out_deg") * recip_num),
     )
+
+
+def trustrank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    pagerank_fixed_point power iteration with teleport restricted to a
+    trusted seed set — trust flows OUT from hand-vetted pages, so spam
+    hosts that farm in-links from junk accumulate little of it (the
+    demotion signal host_spam_score approximates locally, computed
+    globally). Returns (node, rank) with integer ranks at `scale`;
+    rank/scale ~ the trust score, comparable across nodes, NOT summing
+    to 1 (floor-division and dangling mass lost, like pagerank's).
+
+    seeds: one long `node` column; duplicated/non-graph seed ids are
+    deduped/added as isolated nodes. Same fixed-point integer contract
+    as pagerank (every op associative/commutative integer arithmetic),
+    so the n_iter iterations replay as chained SQL CTEs bit-for-bit.
+    Scale shape is identical to pagerank: one src-keyed join + one
+    map-side-combinable dst sum per iteration; the seed flag is a
+    node-cardinality column carried on the persisted node table.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    s = seeds.select(F.col("node").cast("long")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s.select("node"))
+        .distinct()
+        .join(s.withColumn("_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_seeds = s.count()  # driver scalar, config-sized (the vetted list)
+    if n_seeds == 0:
+        raise ValueError("trustrank_fixed_point: empty seed set")
+    base_seed = ((damping_den - damping_num) * scale // damping_den) // n_seeds
+    init = scale // n_seeds
+
+    ranks = nodes.select(
+        "node", (F.col("_seed") * F.lit(init)).cast("long").alias("rank")
+    )
+    for i in range(n_iter):
+        shares = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = nodes.join(shares.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node",
+            (
+                F.col("_seed") * F.lit(base_seed)
+                + F.expr(f"({damping_num} * coalesce(c, 0L)) div {damping_den}")
+            ).cast("long").alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out._rank_cache = out
+    out._nodes_cache = nodes
+    return out
