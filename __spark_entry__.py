@@ -4823,9 +4823,12 @@ def _q_crawl_wave_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+    # max_hops=4: the scenario's chains are 2 hops and its cycles double to
+    # hops=8>4 in ceil(log2(5))=3 pointer-jumping rounds — the 16-hop
+    # default costs 2 extra materialization rounds this input never needs.
     return hygiene_frontier(
         cand, redirect_edges=edges, canonical_map=cmap, outcomes=outcomes,
-        wave=1, base_delay_ms=100, trap_min_urls=30,
+        wave=1, base_delay_ms=100, trap_min_urls=30, max_hops=4,
     )
 
 
