@@ -117,3 +117,32 @@ def test_hygiene_plan_small_tables_broadcast(spark):
     plan = hygiene_frontier(cand, outcomes=outcomes)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan  # whole pipeline codegen, no Python
+
+
+def test_hygiene_empty_optional_inputs(spark):
+    """Empty (schema-only) redirect/canonical/outcome tables must behave
+    exactly like omitted ones — no crash, no dropped candidates, base
+    delays (the wave driver hands over whatever metadata exists, which
+    on wave 0 is nothing)."""
+    cand = spark.createDataFrame(
+        [("https://x.ex/alpha", "x.ex", 1, 1, 1)],
+        "url string, host string, depth int, disc_wave int, disc_pos long",
+    )
+    edges = spark.createDataFrame([], "src string, dst string")
+    cmap = spark.createDataFrame([], "url string, canonical string")
+    outcomes = spark.createDataFrame([], "host string, wave long, status string")
+    out = hygiene_frontier(
+        cand, redirect_edges=edges, canonical_map=cmap, outcomes=outcomes
+    )
+    rows = out.collect()
+    out._redir_cache.unpersist()
+    assert [(r["url"], r["rank"], r["delay_ms"], r["sched_ms"]) for r in rows] == [
+        ("https://x.ex/alpha", 1, 100, 10_000_000)
+    ]
+
+
+def test_hygiene_empty_candidates(spark):
+    cand = spark.createDataFrame(
+        [], "url string, host string, depth int, disc_wave int, disc_pos long"
+    )
+    assert hygiene_frontier(cand).count() == 0
