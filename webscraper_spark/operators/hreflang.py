@@ -66,14 +66,19 @@ def hreflang_clusters(
 ) -> DataFrame:
     """Per declaring URL: (url, n_alternates, n_langs, n_reciprocal,
     all_reciprocal). A declared alternate (lang, alt_url) is reciprocal
-    when the target page declares ANY alternate pointing back
-    (language-agnostic back-edge — the practical validation; strict
-    same-language back-edges are one extra equality in the join
-    condition). Reciprocity is counted over the SAME (lang, alt_url)
-    rows n_alternates counts, so a URL declared under several hreflang
-    values (the standard en + x-default pattern) contributes one
-    reciprocal row per declaration and cannot false-flag
-    all_reciprocal. Self-edges count as reciprocal by construction."""
+    when the target page declares ANY alternate pointing back — the
+    language-agnostic back-edge. That is deliberately the check: a
+    same-language back-edge would be WRONG (if A lists B as its 'de'
+    edition, B's back-edge to A carries A's language, e.g. 'en', so a
+    lang-equality join would flag every correctly-deployed cluster);
+    the label-consistency refinement (does B self-identify under the
+    lang A claimed for it?) needs B's self-edge and belongs to a site
+    auditor, not the crawl-dedup gate. Reciprocity is counted over the
+    SAME (lang, alt_url) rows n_alternates counts, so a URL declared
+    under several hreflang values (the standard en + x-default pattern)
+    contributes one reciprocal row per declaration and cannot
+    false-flag all_reciprocal. Self-edges count as reciprocal by
+    construction."""
     e = hreflang_edges(pages, url_col, html_col).distinct()
     back = e.select(F.col("alt_url").alias("url"), F.col("url").alias("alt_url")).distinct()
     recip = e.join(back, ["url", "alt_url"], "left_semi")  # keeps lang rows
